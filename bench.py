@@ -1,0 +1,78 @@
+"""Benchmark: training-step ray throughput of the flagship PAg-NeRF configuration.
+
+Runs the full jitted training step (pose transform -> permuto delta-NeF -> dense
+tracer -> panoptic losses -> Adam) at the reference's best.yaml scale: batch 6 images
+x 4096 rays = 24,576 rays/step, 512 samples/ray, PermutoGrid 24 LoDs x 2^18 x 2
+(BASELINE.md "train schedule"). Prints ONE JSON line.
+
+``vs_baseline`` compares against an estimated throughput of the CUDA reference
+(kaolin-wisp + permutohedral_encoding on an RTX A6000). The reference repo publishes
+no benchmark numbers (BASELINE.md); the estimate below assumes ~15 train steps/s at
+24,576 rays/step for the packed CUDA pipeline — revise when a measured number lands.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_RAYS_PER_SEC = 370_000.0  # estimated CUDA reference throughput (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pagnerf_tpu.data.multiview import MultiviewDataset
+    from pagnerf_tpu.data.synthetic import make_dataset
+    from pagnerf_tpu.models.nefs import GridConfig, PanopticDeltaNeF
+    from pagnerf_tpu.models.pipeline import BAPipeline
+    from pagnerf_tpu.models.tracer import TracerConfig
+    from pagnerf_tpu.train.optimizer import OptimizerConfig
+    from pagnerf_tpu.train.trainer import PanopticTrainer, TrainerConfig
+
+    batch_size, rays_per_img, num_steps = 6, 4096, 512
+    data = make_dataset(num_views=12, width=96, height=72, num_spheres=4)
+    ds = MultiviewDataset(data)
+    si = ds.semantic_info
+    grid = GridConfig(grid_type="PermutoGrid", num_lods=24, feature_dim=2,
+                      capacity_log2=18, coarsest_scale=1.0, finest_scale=0.0001)
+    nef = PanopticDeltaNeF(grid=grid, num_classes=si["num_classes"],
+                           num_instances=200, hidden_dim=64,
+                           panoptic_features_type="delta",
+                           compute_dtype_name="bfloat16")
+    pipe = BAPipeline(nef, TracerConfig(num_steps=num_steps, ray_max_travel=2.0),
+                      jnp.asarray(data["view_matrices"]), anchor_frame_idxs=[0])
+    cfg = TrainerConfig(batch_size=batch_size, num_rays_sampled_per_img=rays_per_img,
+                        sem_epoch_start=0, inst_epoch_start=0, prune_every=-1,
+                        optimize_val_extrinsics=False, inst_outlier_rejection=True,
+                        voxel_raymarch_epoch_start=10**9)
+    trainer = PanopticTrainer(pipe, ds, cfg, OptimizerConfig(), occ_level=7)
+
+    stage = trainer.stage_for_epoch(0)
+    rng = np.random.default_rng(0)
+    batch = ds.sample_batch(rng, batch_size, rays_per_img)
+
+    # warmup / compile
+    losses = trainer.train_step(stage, batch)
+    jax.block_until_ready(trainer.params)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        losses = trainer.train_step(stage, batch)
+    jax.block_until_ready(trainer.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_step = batch_size * rays_per_img
+    rays_per_sec = rays_per_step * iters / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

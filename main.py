@@ -1,0 +1,74 @@
+"""Headless CLI entry point.
+
+Equivalent of the reference's main entry (/root/reference/main_interactive.py without
+the interactive viewer): parse config (YAML + CLI), build modules, then either
+validate-only, export the 3-D map, or train with periodic validation/checkpointing
+(main_interactive.py:106-149)."""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    from pagnerf_tpu.config.config import (build_parser, config_to_yaml,
+                                           parse_options)
+    from pagnerf_tpu.config.factory import get_modules_from_config
+    from pagnerf_tpu.train import checkpoint
+    from pagnerf_tpu.train.validation import validate
+
+    args = parse_options(argv)
+    logging.basicConfig(level=args.log_level,
+                        format="%(asctime)s|%(levelname)8s| %(message)s")
+    log = logging.getLogger(__name__)
+
+    pipeline, dataset, trainer = get_modules_from_config(args)
+
+    # per-run log dir + config snapshot (main_interactive.py:96-101)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    log_dir = os.path.join(args.log_dir, args.exp_name or "run", stamp)
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "config.yaml"), "w") as f:
+        f.write(config_to_yaml(build_parser(), args))
+
+    if args.pretrained:
+        checkpoint.load_checkpoint(args.pretrained, trainer, args.model_format)
+
+    n_params = sum(x.size for x in
+                   __import__("jax").tree.leaves(trainer.params))
+    log.info("total number of parameters: %d", n_params)
+
+    if args.valid_only:
+        metrics = validate(trainer, trainer.epoch, log_dir=log_dir)
+        log.info("validation: %s", metrics)
+        return metrics
+
+    if args.save_map_only:
+        from pagnerf_tpu.utils.render_map import generate_pc_map_from_views
+        out = generate_pc_map_from_views(trainer, mip=2)
+        import pickle
+        with open(os.path.join(log_dir, "nerf_pc.pkl"), "wb") as f:
+            pickle.dump(out, f)
+        log.info("saved point-cloud map (%d points)", len(out["points"]))
+        return out
+
+    def on_epoch_end(epoch, totals):
+        msg = f"EPOCH {epoch}/{args.epochs} | " + " | ".join(
+            f"{k}: {v:.3E}" for k, v in totals.items())
+        log.info(msg)
+        if args.valid_every > 0 and (epoch + 1) % args.valid_every == 0:
+            metrics = validate(trainer, epoch, log_dir=log_dir)
+            log.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
+        if args.save_every > 0 and (epoch + 1) % args.save_every == 0:
+            checkpoint.save_checkpoint(os.path.join(log_dir, "model.ckpt"),
+                                       trainer, save_as_new=args.save_as_new)
+
+    trainer.train(on_epoch_end=on_epoch_end)
+    checkpoint.save_checkpoint(os.path.join(log_dir, "model.ckpt"), trainer)
+    return validate(trainer, trainer.epoch, log_dir=log_dir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

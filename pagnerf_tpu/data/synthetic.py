@@ -1,0 +1,142 @@
+"""Synthetic multiview panoptic dataset (analytic sphere scene).
+
+The reference has no tests (SURVEY.md §4); this module provides the CPU-runnable
+synthetic scene the new framework's test pyramid and benchmarks use: K coloured
+spheres in the unit cube with semantic classes and instance ids, rendered analytically
+from a ring of cameras. Output schema mirrors the reference data dict
+(/root/reference/datasets/formats/bup20.py:308-315 and
+datasets/multiview_dataset.py:125-132): imgs / semantics / instance / confidences /
+rays / base_rays / view matrices / semantic_info.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import numpy as np
+
+from ..core.camera import PinholeIntrinsics, view_from_c2w
+
+
+@dataclasses.dataclass
+class SphereScene:
+    centers: np.ndarray    # [K, 3]
+    radii: np.ndarray      # [K]
+    colors: np.ndarray     # [K, 3]
+    classes: np.ndarray    # [K] semantic class id (>= 1; 0 = background/stuff)
+    instances: np.ndarray  # [K] instance id (>= 1; 0 = background)
+
+
+def default_scene(num_spheres: int = 4, seed: int = 0) -> SphereScene:
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.45, 0.45, (num_spheres, 3))
+    radii = rng.uniform(0.12, 0.22, num_spheres)
+    colors = rng.uniform(0.2, 1.0, (num_spheres, 3))
+    classes = 1 + (np.arange(num_spheres) % 2)
+    instances = np.arange(1, num_spheres + 1)
+    return SphereScene(centers, radii, colors, classes, instances)
+
+
+def _ring_c2w(idx: int, num: int, radius: float = 2.2, height: float = 0.4) -> np.ndarray:
+    """Camera-to-world pose on a ring, GL convention (camera looks down -z at origin)."""
+    ang = 2 * np.pi * idx / num
+    eye = np.array([radius * np.cos(ang), height, radius * np.sin(ang)])
+    fwd = -eye / np.linalg.norm(eye)                 # toward origin
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up); right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = right, up, -fwd   # GL: z backward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _render_analytic(scene: SphereScene, origins: np.ndarray, dirs: np.ndarray):
+    """Closed-form ray/sphere render. origins/dirs [N, 3] -> rgb [N,3], sem [N],
+    inst [N], depth [N]."""
+    n = origins.shape[0]
+    best_t = np.full(n, np.inf)
+    rgb = np.ones((n, 3), np.float32)
+    sem = np.zeros(n, np.int32)
+    inst = np.zeros(n, np.int32)
+    for c, r, col, cls, iid in zip(scene.centers, scene.radii, scene.colors,
+                                   scene.classes, scene.instances):
+        oc = origins - c
+        b = np.einsum("nd,nd->n", oc, dirs)
+        disc = b ** 2 - (np.einsum("nd,nd->n", oc, oc) - r ** 2)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit &= (t > 0) & (t < best_t)
+        best_t[hit] = t[hit]
+        # simple lambertian shading from a fixed light for texture
+        p = origins[hit] + dirs[hit] * t[hit, None]
+        normal = (p - c) / r
+        light = np.array([0.5, 0.8, 0.3]); light = light / np.linalg.norm(light)
+        shade = 0.4 + 0.6 * np.clip(normal @ light, 0, 1)
+        rgb[hit] = np.clip(col[None] * shade[:, None], 0, 1)
+        sem[hit] = cls
+        inst[hit] = iid
+    depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    return rgb, sem, inst, depth
+
+
+def make_dataset(num_views: int = 8, width: int = 40, height: int = 30,
+                 num_spheres: int = 4, seed: int = 0,
+                 pose_noise: float = 0.0) -> Dict:
+    """Build the full data dict. ``pose_noise`` perturbs train poses to exercise the
+    BA path (reference --add-noise-to-train-poses, bup20.py:276-279)."""
+    scene = default_scene(num_spheres, seed)
+    focal = 0.9 * width
+    intr = PinholeIntrinsics(fx=np.float32(focal), fy=np.float32(focal),
+                             cx=np.float32(width / 2), cy=np.float32(height / 2),
+                             width=width, height=height)
+
+    # camera-space base ray directions (pixel centres, GL convention)
+    px, py = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    x = (px - width / 2) / focal
+    y = (py - height / 2) / focal
+    base_dirs = np.stack([x, -y, -np.ones_like(x)], -1)
+    base_dirs /= np.linalg.norm(base_dirs, axis=-1, keepdims=True)
+    base_dirs = base_dirs.reshape(-1, 3).astype(np.float32)
+
+    rng = np.random.default_rng(seed + 1)
+    imgs, sems, insts, depths, views, world_o, world_d = [], [], [], [], [], [], []
+    for i in range(num_views):
+        c2w = _ring_c2w(i, num_views)
+        o = np.broadcast_to(c2w[:3, 3], base_dirs.shape).astype(np.float32)
+        d = (base_dirs @ c2w[:3, :3].T).astype(np.float32)
+        rgb, sem, inst, depth = _render_analytic(scene, o, d)
+        imgs.append(rgb.reshape(height, width, 3))
+        sems.append(sem.reshape(height, width))
+        insts.append(inst.reshape(height, width))
+        depths.append(depth.reshape(height, width))
+        world_o.append(o.reshape(height, width, 3))
+        world_d.append(d.reshape(height, width, 3))
+        noisy = c2w.copy()
+        if pose_noise > 0:
+            noisy[:3, 3] += rng.normal(0, pose_noise, 3)
+        views.append(view_from_c2w(noisy))
+
+    num_classes = int(scene.classes.max()) + 1
+    return {
+        "imgs": np.stack(imgs).astype(np.float32),
+        "semantics": np.stack(sems),
+        "instance": np.stack(insts),
+        "sem_conf": np.ones((num_views, height, width), np.float32),
+        "inst_conf": np.ones((num_views, height, width), np.float32),
+        "depths": np.stack(depths),
+        "rays_origins": np.stack(world_o),
+        "rays_dirs": np.stack(world_d),
+        "base_rays_origins": np.zeros((height, width, 3), np.float32),
+        "base_rays_dirs": base_dirs.reshape(height, width, 3),
+        "view_matrices": np.stack(views).astype(np.float32),
+        "cameras_ts": np.arange(num_views),
+        "intrinsics": intr,
+        "semantic_info": {
+            "num_classes": num_classes,
+            "num_instances": num_spheres + 2,
+            "stuff_ids": [0],
+            "things_ids": list(range(1, num_classes)),
+        },
+        "scene": scene,
+    }

@@ -1,0 +1,132 @@
+"""Feature grids as flax modules.
+
+TPU-native equivalents of the reference grid zoo (/root/reference/grids/ and
+wisp-stock grids referenced at pc_nerf/panoptic_nef.py:165-182):
+  * ``PermutoGrid``  — permutohedral lattice encoding (grids/permuto_grid.py)
+  * ``HashGrid``     — multires hash encoding (grids/hash_grid_torch.py,
+                       hash_grid_tinycudann.py; one implementation serves all three
+                       reference aliases HashGrid/HashGridTorch/HashGridTinyCudaNN)
+  * ``TriplanarGrid``— three axis-aligned feature planes, bilinear lookup
+  * ``TensoRFGrid``  — VM decomposition (grids/tensorf.py), see tensorf.py module
+
+Each grid returns multiscale-'cat' features [N, num_lods * feature_dim]; LoD weighting
+and 'sum' consolidation happen in the NeF exactly as in the reference
+(panoptic_nef.py:299-302). Occupancy acceleration lives outside the module (it is
+state, not parameters) — see ops/occupancy.py.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.hash_encoding import HashEncodingSpec
+from ..ops.permuto_encoding import PermutoEncodingSpec
+
+
+class PermutoGrid(nn.Module):
+    """Permutohedral encoding grid (reference grids/permuto_grid.py:16-70; best
+    config: num_lods 24, feature_dim 2, capacity 2^18, scales geomspace 1.0->1e-4)."""
+
+    num_lods: int = 24
+    feature_dim: int = 2
+    capacity_log2: int = 18
+    coarsest_scale: float = 1.0
+    finest_scale: float = 0.0001
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_lods * self.feature_dim
+
+    @nn.compact
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        spec = PermutoEncodingSpec(self.num_lods, self.feature_dim,
+                                   self.capacity_log2, self.coarsest_scale,
+                                   self.finest_scale)
+        tables = self.param("tables", lambda k: spec.init(k))
+        return spec.encode(tables, coords, compute_dtype=self.compute_dtype)
+
+
+class HashGrid(nn.Module):
+    """Multiresolution hash grid (reference grids/hash_grid_torch.py:48-140;
+    panoptic_nerf.yaml uses num_lods 14, codebook bitwidth / log2 table size 19)."""
+
+    num_lods: int = 16
+    feature_dim: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    finest_resolution: int = 512
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_lods * self.feature_dim
+
+    @nn.compact
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        spec = HashEncodingSpec(self.num_lods, self.feature_dim,
+                                self.log2_table_size, self.base_resolution,
+                                self.finest_resolution)
+        tables = self.param("tables", lambda k: spec.init(k))
+        return spec.encode(tables, coords, compute_dtype=self.compute_dtype)
+
+
+class TriplanarGrid(nn.Module):
+    """Three axis-aligned feature planes with bilinear interpolation — wisp-stock
+    ``TriplanarGrid`` equivalent (listed in the reference grid registry,
+    panoptic_nef.py:170-171). Multi-LoD: per-level resolution doubles from base_lod."""
+
+    num_lods: int = 4
+    feature_dim: int = 8
+    base_lod: int = 5
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_lods * self.feature_dim
+
+    @nn.compact
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        for lod in range(self.num_lods):
+            res = 1 << (self.base_lod + lod)
+            planes = self.param(
+                f"planes_{lod}",
+                lambda k, r=res: nn.initializers.uniform(scale=1e-4)(
+                    k, (3, r, r, self.feature_dim)),
+            )
+            feats = 0.0
+            # plane p spans the two axes != p
+            for p, (a, b) in enumerate(((1, 2), (0, 2), (0, 1))):
+                uv = (coords[:, (a, b)] + 1.0) * 0.5 * (res - 1)
+                u0 = jnp.clip(jnp.floor(uv).astype(jnp.int32), 0, res - 2)
+                f = uv - u0
+                p00 = planes[p, u0[:, 0], u0[:, 1]]
+                p01 = planes[p, u0[:, 0], u0[:, 1] + 1]
+                p10 = planes[p, u0[:, 0] + 1, u0[:, 1]]
+                p11 = planes[p, u0[:, 0] + 1, u0[:, 1] + 1]
+                fx, fy = f[:, 0:1], f[:, 1:2]
+                feats = feats + (p00 * (1 - fx) * (1 - fy) + p10 * fx * (1 - fy)
+                                 + p01 * (1 - fx) * fy + p11 * fx * fy)
+            outs.append(feats.astype(self.compute_dtype))
+        return jnp.concatenate(outs, axis=-1)
+
+
+def build_grid(grid_type: str, **kwargs) -> nn.Module:
+    """String->grid factory, mirroring the reference registry
+    (pc_nerf/panoptic_nef.py:165-182). The three reference hash-grid aliases map onto
+    the single TPU HashGrid implementation."""
+    from .tensorf import TensoRFGrid  # local import to avoid cycles
+    table = {
+        "PermutoGrid": PermutoGrid,
+        "HashGrid": HashGrid,
+        "HashGridTorch": HashGrid,
+        "HashGridTinyCudaNN": HashGrid,
+        "TriplanarGrid": TriplanarGrid,
+        "TensoRF": TensoRFGrid,
+    }
+    if grid_type not in table:
+        raise NotImplementedError(f"grid type '{grid_type}' not supported")
+    cls = table[grid_type]
+    valid = set(cls.__dataclass_fields__.keys())
+    return cls(**{k: v for k, v in kwargs.items() if k in valid})

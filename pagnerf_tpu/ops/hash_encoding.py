@@ -1,0 +1,136 @@
+"""Multiresolution hash encoding (Instant-NGP style), TPU-native.
+
+Reimplements the algorithm the reference documents in pure torch at
+/root/reference/grids/hash_grid_torch.py:13-108 (XOR-prime spatial hash, 8-corner
+lookup, trilinear interpolation, per-level tables, geometric resolution schedule) and
+wraps with the same API surface as the reference's ``HashGrid`` wrappers
+(grids/hash_grid_torch.py:110-140, grids/hash_grid_tinycudann.py:24-47).
+
+TPU design notes:
+  * All levels are evaluated in one batched pass: tables are a single [L, T, F] array
+    and the per-level lookup is ``vmap``-ed over L, producing one large fused gather
+    that XLA lowers to native TPU dynamic-gather. No Python loop over levels.
+  * Corner weights are computed once as an [N, 8] tensor and contracted against the
+    gathered [L, N, 8, F] features — an elementwise-mul + reduce that XLA fuses.
+  * Tables can be held in bfloat16 (the reference casts encodings to half under AMP,
+    grids/permuto_grid.py:65); gradients accumulate in fp32 via ``preferred dtype``.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# XOR-hash primes, identical to the reference (grids/hash_grid_torch.py:18).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def geometric_resolutions(base_resolution: int, finest_resolution: int,
+                          num_levels: int) -> np.ndarray:
+    """Per-level grid resolutions: floor(base * b^i) with geometric growth factor b
+    (reference: grids/hash_grid_torch.py:59,99)."""
+    if num_levels == 1:
+        return np.array([base_resolution], dtype=np.int32)
+    b = np.exp((np.log(finest_resolution) - np.log(base_resolution)) / (num_levels - 1))
+    return np.floor(base_resolution * b ** np.arange(num_levels)).astype(np.int32)
+
+
+def init_hash_table(key: jax.Array, num_levels: int, table_size: int,
+                    feature_dim: int, init_std: float = 1e-4,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """[L, T, F] feature tables, uniform in [-init_std, init_std]
+    (reference init: grids/hash_grid_torch.py:63-65)."""
+    return jax.random.uniform(key, (num_levels, table_size, feature_dim),
+                              minval=-init_std, maxval=init_std, dtype=jnp.float32
+                              ).astype(dtype)
+
+
+def _spatial_hash(corner_idx: jnp.ndarray, log2_table_size: int) -> jnp.ndarray:
+    """XOR-prime spatial hash of integer corner coords [..., 3] -> flat table indices.
+
+    Matches the reference hash exactly (grids/hash_grid_torch.py:13-24): wraparound
+    uint32 multiply, XOR-combine, mask to table size.
+    """
+    c = corner_idx.astype(jnp.uint32)
+    h = c[..., 0] * jnp.uint32(_PRIMES[0])
+    h = h ^ (c[..., 1] * jnp.uint32(_PRIMES[1]))
+    h = h ^ (c[..., 2] * jnp.uint32(_PRIMES[2]))
+    return (h & jnp.uint32((1 << log2_table_size) - 1)).astype(jnp.int32)
+
+
+# The 8 voxel-corner offsets in zyx bit order, matching BOX_OFFSETS ordering of the
+# reference (grids/hash_grid_torch.py:10): index b -> (b>>2 & 1, b>>1 & 1, b & 1).
+_CORNERS = np.array([[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+                    dtype=np.int32)  # [8, 3]
+
+
+def hash_encode(tables: jnp.ndarray, coords: jnp.ndarray,
+                resolutions: Sequence[int] | np.ndarray,
+                compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Encode coords [N, 3] in [-1, 1] against multiresolution hash tables [L, T, F].
+
+    Returns [N, L*F] concatenated level features (multiscale 'cat', the mode the
+    reference always uses internally: panoptic_nef.py:193).
+    """
+    num_levels, table_size, feat_dim = tables.shape
+    log2_t = int(np.log2(table_size))
+    assert (1 << log2_t) == table_size, "table size must be a power of two"
+    res = jnp.asarray(np.asarray(resolutions), jnp.float32)  # [L]
+
+    x = jnp.clip(coords, -1.0, 1.0).astype(jnp.float32)      # [N, 3]
+
+    def level_lookup(table, r):
+        # Voxel-grid coords in [0, r]; bottom-left corner and fractional offset.
+        grid_size = 2.0 / r
+        cell = (x + 1.0) / grid_size                           # [N, 3]
+        bl = jnp.floor(cell)
+        frac = cell - bl                                       # [N, 3] in [0, 1)
+        corners = bl.astype(jnp.int32)[:, None, :] + _CORNERS[None, :, :]  # [N, 8, 3]
+        idx = _spatial_hash(corners, log2_t)                   # [N, 8]
+        feats = table[idx]                                     # [N, 8, F] gather
+        # Trilinear weights per corner: prod over axes of (frac or 1-frac).
+        w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
+        w = w[..., 0] * w[..., 1] * w[..., 2]                  # [N, 8]
+        return jnp.sum(feats.astype(compute_dtype) * w[..., None].astype(compute_dtype),
+                       axis=1)                                 # [N, F]
+
+    # Scan over levels (see permuto_encoding.py): bounds peak memory to one level's
+    # [N, 8] intermediates and keeps backward residuals to coords + tables.
+    @jax.checkpoint
+    def body(_, level_in):
+        table, r = level_in
+        return None, level_lookup(table, r)
+
+    _, per_level = jax.lax.scan(body, None, (tables, res))     # [L, N, F]
+    n = coords.shape[0]
+    return jnp.transpose(per_level, (1, 0, 2)).reshape(n, num_levels * feat_dim)
+
+
+class HashEncodingSpec:
+    """Static spec for a multiresolution hash encoder (shapes, resolutions).
+
+    Mirrors the construction parameters of the reference HashGrid wrappers
+    (grids/hash_grid_torch.py:49-57: n_levels, n_features_per_level,
+    log2_hashmap_size, base/finest resolution).
+    """
+
+    def __init__(self, num_levels: int = 16, feature_dim: int = 2,
+                 log2_table_size: int = 19, base_resolution: int = 16,
+                 finest_resolution: int = 512):
+        self.num_levels = num_levels
+        self.feature_dim = feature_dim
+        self.log2_table_size = log2_table_size
+        self.table_size = 1 << log2_table_size
+        self.resolutions = geometric_resolutions(base_resolution, finest_resolution,
+                                                 num_levels)
+        self.output_dim = num_levels * feature_dim
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
+        return init_hash_table(key, self.num_levels, self.table_size,
+                               self.feature_dim, dtype=dtype)
+
+    def encode(self, tables: jnp.ndarray, coords: jnp.ndarray,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+        return hash_encode(tables, coords, self.resolutions, compute_dtype)

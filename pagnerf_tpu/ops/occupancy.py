@@ -1,0 +1,77 @@
+"""Dense occupancy acceleration grid.
+
+TPU-native replacement for the reference's kaolin SPC octree BLAS
+(/root/reference/grids/occtree.py:59-91, pc_nerf/panoptic_nef.py:207-237): a dense
+volume at ``2^level`` resolution over the [-1, 1]^3 scene cube. On TPU there is no
+benefit to a pointer-chasing octree — a dense bitmask supports O(1) vectorised lookup
+inside jit, and "pruning" is a pure functional update with no topology rebuild.
+
+Two pieces of state mirror the reference's split between the octree BLAS and the
+float occupancy vector:
+  * ``mask``      — cell visibility used by the raymarcher (the octree: starts fully
+                    dense, shrinks at prune epochs when rebuilt from surviving points,
+                    panoptic_delta_nef.py:94-104);
+  * ``occupancy`` — the float density accumulator (decay + max with sampled density,
+                    panoptic_delta_nef.py:74-92) from which the mask is re-thresholded.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# Reference prune constants (panoptic_delta_nef.py:74-75).
+DENSITY_DECAY = 0.6
+MIN_DENSITY = (0.01 * 512) / (3.0 ** 0.5)
+
+
+@struct.dataclass
+class OccupancyGrid:
+    """Flattened [res^3] cell state; ``level`` gives res = 2^level
+    (reference blas_level default 7 -> 128^3, grids/occtree.py:59)."""
+
+    occupancy: jnp.ndarray   # float accumulator
+    mask: jnp.ndarray        # bool visibility
+    level: int = struct.field(pytree_node=False)
+
+    @property
+    def res(self) -> int:
+        return 1 << self.level
+
+    @staticmethod
+    def create(level: int = 7) -> "OccupancyGrid":
+        """Fully-visible grid with a zero accumulator (the reference starts with a
+        dense octree over the whole cube and zero occupancy)."""
+        res = 1 << level
+        return OccupancyGrid(occupancy=jnp.zeros((res ** 3,), jnp.float32),
+                             mask=jnp.ones((res ** 3,), bool), level=level)
+
+    def cell_indices(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """Map coords [..., 3] in [-1, 1] to flat cell indices [...]."""
+        res = self.res
+        ijk = jnp.clip(((coords + 1.0) * 0.5 * res).astype(jnp.int32), 0, res - 1)
+        return (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+
+    def occupied_at(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """Boolean visibility lookup at world coords [..., 3]."""
+        return self.mask[self.cell_indices(coords)]
+
+    def cell_centers_jittered(self, key: jax.Array) -> jnp.ndarray:
+        """One uniformly-jittered point per cell, in [-1, 1]^3 — the prune sampling
+        pattern of the reference (panoptic_delta_nef.py:79-86). Ordered to match
+        ``cell_indices`` flattening."""
+        res = self.res
+        ijk = jnp.stack(jnp.meshgrid(jnp.arange(res), jnp.arange(res), jnp.arange(res),
+                                     indexing="ij"), axis=-1).reshape(-1, 3)
+        jitter = jax.random.uniform(key, ijk.shape)
+        return (ijk.astype(jnp.float32) + jitter) / res * 2.0 - 1.0
+
+    def update_from_density(self, density: jnp.ndarray,
+                            decay: float = DENSITY_DECAY,
+                            min_density: float = MIN_DENSITY) -> "OccupancyGrid":
+        """Prune step: occ <- max(density_at_jittered_cell_points, occ * decay);
+        mask <- occ > min_density (reference panoptic_delta_nef.py:74-92).
+        ``density`` is [res^3], ordered to match ``cell_centers_jittered``."""
+        new_occ = jnp.maximum(self.occupancy * decay, density.reshape(-1))
+        return OccupancyGrid(occupancy=new_occ, mask=new_occ > min_density,
+                             level=self.level)

@@ -1,0 +1,169 @@
+"""Multiresolution permutohedral-lattice hash encoding, TPU-native.
+
+Capability-equivalent of the CUDA ``permutohedral_encoding.PermutoEncoding`` the
+reference wraps at /root/reference/grids/permuto_grid.py:57-70 (3-D input, capacity
+2^18 tables, 24 levels x 2 features, geomspace scales coarsest->finest). The lattice
+math follows the public permutohedral-lattice construction (Adams et al., "Fast
+High-Dimensional Filtering Using the Permutohedral Lattice", 2010), which is also what
+the CUDA library implements.
+
+Why permutohedral on TPU: a 3-D simplex has d+1 = 4 vertices vs 8 voxel corners, so the
+encoding does half the gathers of a hash grid per level. All per-level work is
+``vmap``-ed into single fused gathers; rank/sort logic is a fixed 4x4 comparison
+network — fully vectorised, no data-dependent control flow (jit/XLA friendly).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_D = 3            # input dimensionality
+_VERTS = _D + 1   # simplex vertices
+
+# Hash primes (first coordinate prime 1 keeps parity with the reference hash family,
+# grids/hash_grid_torch.py:18; vertices are integer lattice keys).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def _elevation_matrix() -> np.ndarray:
+    """E: R^3 -> R^4 embedding onto the sum-zero hyperplane H_d, scaled so lattice
+    cells have unit size. Built by running the canonical elevation recurrence on the
+    basis vectors."""
+    inv_std_dev = np.sqrt(2.0 / 3.0) * _VERTS
+    sf = np.array([inv_std_dev / np.sqrt((i + 1) * (i + 2)) for i in range(_D)])
+    e = np.zeros((_VERTS, _D))
+    for j in range(_D):
+        vec = np.zeros(_D)
+        vec[j] = sf[j]
+        sm = 0.0
+        col = np.zeros(_VERTS)
+        for i in range(_D, 0, -1):
+            cf = vec[i - 1]
+            col[i] = sm - i * cf
+            sm += cf
+        col[0] = sm
+        e[:, j] = col
+    return e
+
+
+_E = _elevation_matrix()  # [4, 3]
+
+
+def _hash_keys(keys: jnp.ndarray, log2_capacity: int) -> jnp.ndarray:
+    """XOR-prime hash of integer lattice keys [..., 3] -> table indices."""
+    k = keys.astype(jnp.uint32)
+    h = k[..., 0] * jnp.uint32(_PRIMES[0])
+    h = h ^ (k[..., 1] * jnp.uint32(_PRIMES[1]))
+    h = h ^ (k[..., 2] * jnp.uint32(_PRIMES[2]))
+    return (h & jnp.uint32((1 << log2_capacity) - 1)).astype(jnp.int32)
+
+
+def simplex_vertices_and_weights(scaled: jnp.ndarray):
+    """Locate the enclosing lattice simplex of points [N, 3] (already divided by the
+    level scale) and compute barycentric weights.
+
+    Returns:
+      keys: [N, 4, 3] int32 lattice coordinates (first 3 of 4; the 4th is implied by
+            the sum-zero constraint) of the 4 simplex vertices.
+      bary: [N, 4] barycentric weights (>= 0, sum to 1).
+    """
+    el = scaled @ jnp.asarray(_E.T, scaled.dtype)               # [N, 4]
+
+    # Closest remainder-0 lattice point by rounding to multiples of (d+1).
+    v = el / _VERTS
+    gr = jnp.round(v) * _VERTS                                   # [N, 4]
+    sum_val = jnp.sum(gr, axis=-1) / _VERTS                      # [N] integer-valued
+
+    # Rank of each coordinate's differential (descending), ties broken by index.
+    diff = el - gr                                               # [N, 4]
+    di = diff[:, :, None]                                        # coordinate i
+    dj = diff[:, None, :]                                        # coordinate j
+    idx = jnp.arange(_VERTS)
+    tie = (dj == di) & (idx[None, None, :] < idx[None, :, None])
+    rank = jnp.sum((dj > di) | tie, axis=-1).astype(jnp.int32)   # [N, 4]
+    rank = rank + sum_val.astype(jnp.int32)[:, None]
+
+    # Wrap out-of-range ranks, adjusting the rounded point accordingly.
+    under = rank < 0
+    over = rank > _D
+    rank = rank + _VERTS * under.astype(jnp.int32) - _VERTS * over.astype(jnp.int32)
+    gr = gr + _VERTS * under.astype(gr.dtype) - _VERTS * over.astype(gr.dtype)
+
+    # Barycentric coordinates from the sorted differentials (scatter via one-hot).
+    delta = (el - gr) / _VERTS                                   # [N, 4]
+    plus = jax.nn.one_hot(_D - rank, _VERTS + 1, dtype=delta.dtype)   # [N, 4, 5]
+    minus = jax.nn.one_hot(_D + 1 - rank, _VERTS + 1, dtype=delta.dtype)
+    bary = jnp.sum((plus - minus) * delta[..., None], axis=1)    # [N, 5]
+    bary = bary.at[:, 0].add(1.0 + bary[:, _VERTS])
+    bary = bary[:, :_VERTS]                                      # [N, 4]
+
+    # Vertex keys for remainders r = 0..d:
+    # key_i = gr_i + r - (d+1 if rank_i > d - r else 0); only first 3 coords hashed.
+    r = jnp.arange(_VERTS, dtype=jnp.int32)                      # [4]
+    gri = gr.astype(jnp.int32)[:, None, :_D]                     # [N, 1, 3]
+    ranki = rank[:, None, :_D]                                   # [N, 1, 3]
+    sub = (ranki > (_D - r[None, :, None])).astype(jnp.int32) * _VERTS
+    keys = gri + r[None, :, None] - sub                          # [N, 4, 3]
+    return keys, bary
+
+
+def permuto_encode(tables: jnp.ndarray, coords: jnp.ndarray,
+                   scales: np.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Encode coords [N, 3] against permutohedral tables [L, C, F] with per-level
+    scales [L] (geomspace coarsest->finest; reference grids/permuto_grid.py:53).
+
+    Returns [N, L*F] concatenated level features.
+    """
+    num_levels, capacity, feat_dim = tables.shape
+    log2_c = int(np.log2(capacity))
+    assert (1 << log2_c) == capacity, "capacity must be a power of two"
+    inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
+
+    x = coords.astype(jnp.float32)
+
+    def level_lookup(table, inv_s):
+        keys, bary = simplex_vertices_and_weights(x * inv_s)
+        idx = _hash_keys(keys, log2_c)                           # [N, 4]
+        feats = table[idx]                                       # [N, 4, F] gather
+        return jnp.sum(feats.astype(compute_dtype)
+                       * bary[..., None].astype(compute_dtype), axis=1)
+
+    # Scan (not vmap) over levels: per-level [N, 4] intermediates are freed between
+    # iterations instead of materialising [L, N, 4] at once (which OOMs HBM at
+    # production sample counts), and the rematerialised body keeps backward residuals
+    # to just coords + tables.
+    @jax.checkpoint
+    def body(_, level_in):
+        table, inv_s = level_in
+        return None, level_lookup(table, inv_s)
+
+    _, per_level = jax.lax.scan(body, None, (tables, inv_scales))  # [L, N, F]
+    n = coords.shape[0]
+    return jnp.transpose(per_level, (1, 0, 2)).reshape(n, num_levels * feat_dim)
+
+
+class PermutoEncodingSpec:
+    """Static spec mirroring the reference PermutoGrid constructor
+    (grids/permuto_grid.py:16-28: coarsest_scale, finest_scale, capacity_log_2,
+    num_lods, feature_dim)."""
+
+    def __init__(self, num_levels: int = 24, feature_dim: int = 2,
+                 capacity_log2: int = 18, coarsest_scale: float = 1.0,
+                 finest_scale: float = 0.0001):
+        self.num_levels = num_levels
+        self.feature_dim = feature_dim
+        self.capacity_log2 = capacity_log2
+        self.capacity = 1 << capacity_log2
+        # geomspace coarsest->finest (reference grids/permuto_grid.py:53)
+        self.scales = np.geomspace(coarsest_scale, finest_scale, num=num_levels)
+        self.output_dim = num_levels * feature_dim
+
+    def init(self, key: jax.Array, init_std: float = 1e-4, dtype=jnp.float32) -> jnp.ndarray:
+        return jax.random.uniform(
+            key, (self.num_levels, self.capacity, self.feature_dim),
+            minval=-init_std, maxval=init_std, dtype=jnp.float32).astype(dtype)
+
+    def encode(self, tables: jnp.ndarray, coords: jnp.ndarray,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+        return permuto_encode(tables, coords, self.scales, compute_dtype)

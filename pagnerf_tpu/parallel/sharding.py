@@ -1,0 +1,54 @@
+"""Device-mesh data parallelism: ray-axis sharding.
+
+The reference is a single-GPU trainer (SURVEY.md §2.4 — no distributed training
+anywhere); the TPU framework adds data parallelism over the ICI mesh as its native
+scaling axis: the ray batch ([batch_imgs, rays_per_img]) is sharded along the ray
+axis, parameters and the occupancy grid are replicated, and gradient reduction is an
+XLA-inserted psum. Expressed with ``jax.sharding`` + jit — XLA places the collectives
+on ICI automatically; no NCCL-style backend to port.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, R, ...] arrays sharded along the ray axis (R divisible by mesh size)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_ray_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a host batch on the mesh: pixel modes sharded on the ray axis,
+    per-image scalars (cam_idx) replicated."""
+    rs = ray_sharding(mesh)
+    rep = replicated(mesh)
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.ndim >= 2 and arr.shape[1] % mesh.size == 0 and k != "cam_idx":
+            out[k] = jax.device_put(arr, rs)
+        else:
+            out[k] = jax.device_put(arr, rep)
+    return out
+
+
+def replicate_tree(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.device_put(tree, rep)

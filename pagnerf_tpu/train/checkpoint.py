@@ -1,0 +1,98 @@
+"""Checkpoint save/load.
+
+Equivalent of the reference's save/load surface: wisp BaseTrainer ``save_every`` /
+``save_as_new`` / ``model_format`` (config flags, /root/reference/config_parser.py:366-372)
+and the 4 ``--pretrained`` load formats including shape-mismatch-tolerant partial
+loading (config_parser.py:753-776). State is a flax-serialised pytree of
+{params, opt_state, occupancy, lod_weights, epoch, global_step} — everything needed
+for exact resume (SURVEY.md §5 checkpoint/resume)."""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+FORMATS = ("full", "params_only", "state_dict", "params_only_ignore_missmatch")
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
+    """Write a checkpoint; ``save_as_new`` appends the epoch to the filename
+    (reference save_as_new, best.yaml:193)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if save_as_new:
+        base, ext = os.path.splitext(path)
+        path = f"{base}_epoch{trainer.epoch}{ext}"
+    state = {
+        "params": _to_numpy(trainer.params),
+        "opt_state": _to_numpy(trainer.opt_state),
+        "occupancy": np.asarray(trainer.occ.occupancy),
+        "occ_mask": np.asarray(trainer.occ.mask),
+        "occ_level": trainer.occ.level,
+        "lod_weights": np.asarray(trainer.lod_w),
+        "epoch": trainer.epoch,
+        "global_step": trainer.global_step,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+    log.info("saved checkpoint to %s", path)
+    return path
+
+
+def _partial_merge(current, loaded, ignore_mismatch: bool):
+    """Merge loaded leaves into the current tree; on shape mismatch either raise or
+    keep the current leaf (reference partial load, config_parser.py:753-776)."""
+    flat_cur = jax.tree_util.tree_flatten_with_path(current)
+    flat_load = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    merged = []
+    for kp, leaf in flat_cur[0]:
+        if kp in flat_load:
+            cand = flat_load[kp]
+            if np.shape(cand) == np.shape(leaf):
+                merged.append(jnp.asarray(cand))
+            elif ignore_mismatch:
+                log.warning("shape mismatch at %s: %s vs %s — keeping current",
+                            kp, np.shape(cand), np.shape(leaf))
+                merged.append(leaf)
+            else:
+                raise ValueError(f"shape mismatch at {kp}: "
+                                 f"{np.shape(cand)} vs {np.shape(leaf)}")
+        else:
+            if not ignore_mismatch:
+                raise KeyError(f"missing parameter {kp} in checkpoint")
+            merged.append(leaf)
+    return jax.tree_util.tree_unflatten(flat_cur[1], merged)
+
+
+def load_checkpoint(path: str, trainer, model_format: str = "full") -> None:
+    """Restore trainer state in one of the reference's formats."""
+    assert model_format in FORMATS, model_format
+    with open(path, "rb") as f:
+        state: Dict = pickle.load(f)
+    ignore = model_format == "params_only_ignore_missmatch"
+    trainer.params = _partial_merge(trainer.params, state["params"], ignore)
+    if model_format in ("full", "state_dict"):
+        from ..ops.occupancy import OccupancyGrid
+        trainer.occ = OccupancyGrid(occupancy=jnp.asarray(state["occupancy"]),
+                                    mask=jnp.asarray(state["occ_mask"]),
+                                    level=state["occ_level"])
+        trainer.lod_w = jnp.asarray(state["lod_weights"])
+        trainer.epoch = state["epoch"]
+        trainer.global_step = state["global_step"]
+        try:
+            trainer.opt_state = jax.tree.map(
+                jnp.asarray, state["opt_state"])
+        except Exception:
+            log.warning("optimizer state incompatible; reinitialised")
+            trainer.opt_state = trainer.tx.init(trainer.params)
+    log.info("loaded checkpoint %s (format=%s)", path, model_format)

@@ -1,0 +1,157 @@
+"""Optimizer construction: per-group learning rates by parameter-path name.
+
+TPU-native equivalent of the reference ``init_optimizer``
+(/root/reference/pc_nerf/trainer.py:229-300): parameters are grouped by name
+substring — decoder / sem / inst / delta_grid / grid / rest (+ extrinsics) — with
+per-group learning-rate multipliers (grid and delta-grid x grid_lr_weight, best.yaml
+optimizer group) and Adam(eps=1e-15) (config_parser.py:671-673).
+
+Frozen-parameter semantics match torch ``requires_grad=False`` exactly: a per-stage
+static mask selects, per leaf, whether the optimizer update and its state advance or
+stay untouched (used for val-pose-only epochs that freeze the NeF, trainer.py:302-327,
+and the extrinsics epoch window, trainer.py:304-308).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Reference 'optimizer' + scheduler config group (best.yaml)."""
+
+    optimizer_type: str = "adam"
+    lr: float = 0.001
+    eps: float = 1e-15
+    weight_decay: float = 0.0
+    grid_lr_weight: float = 100.0
+    delta_grid_lr_weight: float = 100.0
+    extrinsics_lr: float = 0.0001
+    use_lr_scheduler: bool = False
+    lr_scheduler_type: str = "step"
+    lr_step_size: int = 0          # epochs
+    lr_step_gamma: float = 0.1
+    lr_warmup_epochs: int = 0
+    lr_div_factor: float = 10000.0
+    num_epochs: int = 800
+    steps_per_epoch: int = 1
+
+
+def label_for_path(path: str) -> str:
+    """Group label from a '/'-joined param path — same precedence as the reference's
+    name matching (trainer.py:240-258)."""
+    if path.startswith("extrinsics"):
+        return "extrinsics"
+    if "decoder" in path:
+        return "decoder"
+    if "inst" in path:
+        return "inst"
+    if "sem" in path:
+        return "sem"
+    if "delta_grid" in path:
+        return "delta_grid"
+    if "grid" in path:
+        return "grid"
+    return "rest"
+
+
+def param_labels(params) -> Dict:
+    """Pytree of group labels matching ``params``."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    labels = [label_for_path(path_str(kp)) for kp, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, labels)
+
+
+def _schedule(base_lr: float, cfg: OptimizerConfig, group: str) -> optax.Schedule:
+    """Per-group LR schedule (reference trainer.py:173-199)."""
+    if not cfg.use_lr_scheduler:
+        return optax.constant_schedule(base_lr)
+    spe = max(cfg.steps_per_epoch, 1)
+    if cfg.lr_scheduler_type == "step":
+        if cfg.lr_step_size <= 0:
+            return optax.constant_schedule(base_lr)
+        return optax.exponential_decay(base_lr, transition_steps=cfg.lr_step_size * spe,
+                                       decay_rate=cfg.lr_step_gamma, staircase=True)
+    if cfg.lr_scheduler_type == "one_cycle":
+        total = (cfg.num_epochs + 1) * spe
+        return optax.linear_onecycle_schedule(
+            transition_steps=total, peak_value=base_lr,
+            pct_start=cfg.lr_warmup_epochs / max(cfg.num_epochs, 1),
+            div_factor=cfg.lr_div_factor, final_div_factor=cfg.lr_div_factor)
+    if cfg.lr_scheduler_type == "panoptic_step":
+        # decay only the sem/inst/delta groups at epoch boundaries
+        # (trainer.py:193-199)
+        if group in ("sem", "inst", "delta_grid") and cfg.lr_step_size > 0:
+            return optax.exponential_decay(base_lr,
+                                           transition_steps=cfg.lr_step_size * spe,
+                                           decay_rate=cfg.lr_step_gamma,
+                                           staircase=True)
+        return optax.constant_schedule(base_lr)
+    raise ValueError(f"unknown lr scheduler '{cfg.lr_scheduler_type}'")
+
+
+def _group_tx(cfg: OptimizerConfig, group: str) -> optax.GradientTransformation:
+    base = {
+        "decoder": cfg.lr, "sem": cfg.lr, "inst": cfg.lr, "rest": cfg.lr,
+        "grid": cfg.lr * cfg.grid_lr_weight,
+        "delta_grid": cfg.lr * cfg.delta_grid_lr_weight,
+        "extrinsics": cfg.extrinsics_lr if cfg.extrinsics_lr >= 0 else cfg.lr,
+    }[group]
+    sched = _schedule(base, cfg, group)
+    wd = cfg.weight_decay if group in ("grid", "delta_grid") else 0.0
+    if cfg.optimizer_type == "adam":
+        if wd > 0:
+            return optax.adamw(sched, eps=cfg.eps, weight_decay=wd)
+        return optax.adam(sched, eps=cfg.eps)
+    if cfg.optimizer_type == "sgd":
+        return optax.sgd(sched)
+    if cfg.optimizer_type == "rmsprop":
+        return optax.rmsprop(sched)
+    raise ValueError(f"unknown optimizer '{cfg.optimizer_type}'")
+
+
+GROUPS = ("decoder", "sem", "inst", "delta_grid", "grid", "rest", "extrinsics")
+
+
+def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation:
+    labels = param_labels(params)
+    return optax.multi_transform({g: _group_tx(cfg, g) for g in GROUPS}, labels)
+
+
+def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
+                  frozen_fn: Optional[Callable[[str], bool]] = None):
+    """Apply ``tx`` with frozen-parameter semantics: for leaves whose path satisfies
+    ``frozen_fn``, both the incoming gradient and the final update are zeroed, so the
+    parameter is bit-identical across the frozen stage (equivalent in effect to torch
+    requires_grad=False, reference trainer.py:308,318-326; Adam moments for frozen
+    leaves decay on zero grads, which only matters after unfreezing and washes out in
+    a few steps)."""
+    if frozen_fn is not None:
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+        def path_str(kp):
+            return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+        frozen_paths = {path_str(kp) for kp, _ in flat if frozen_fn(path_str(kp))}
+
+        def zero_frozen(kp, g):
+            return jnp.zeros_like(g) if path_str(kp) in frozen_paths else g
+
+        if frozen_paths:
+            grads = jax.tree_util.tree_map_with_path(zero_frozen, grads)
+
+    updates, new_state = tx.update(grads, opt_state, params)
+
+    if frozen_fn is not None and frozen_paths:
+        updates = jax.tree_util.tree_map_with_path(zero_frozen, updates)
+    return updates, new_state

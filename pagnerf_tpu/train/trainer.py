@@ -1,0 +1,454 @@
+"""Panoptic trainer.
+
+TPU-native equivalent of the reference ``PanopticTrainer``
+(/root/reference/pc_nerf/trainer.py) and the wisp BaseTrainer epoch loop it extends.
+
+Architecture: all epoch-dependent behaviour (channel sets, loss gating, raymarch mode
+switch, val-pose-only epochs — reference trainer.py:302-327,362-366,400-432) is folded
+into a hashable ``StageConfig``. The train step is jitted once per distinct stage
+(a handful across an 800-epoch run) and is otherwise a single fused XLA program:
+pose transform -> raymarch -> NeF -> compositing -> losses -> grads -> Adam. The only
+host round-trip in the hot path is the tiny Hungarian solve (pure_callback), exactly
+where the reference also leaves the GPU (scipy on CPU, SURVEY.md §3.1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.camera import rays_to_3d_points
+from ..core.rays import Rays
+from ..data.multiview import MultiviewDataset
+from ..losses.lin_assignment import (lin_assignment_loss,
+                                     lin_assignment_things_loss)
+from ..losses.photometric import rgb_l1_loss, semantic_loss
+from ..losses.regularizers import (grid_tv_l1_loss, grid_tv_l2_loss,
+                                   segment_consistency_regularizer)
+from ..losses.sup_contrastive import sup_contrastive_loss
+from ..models.pipeline import BAPipeline, Pipeline
+from ..models.tracer import TracerConfig
+from ..ops.occupancy import OccupancyGrid
+from ..train.optimizer import OptimizerConfig, build_optimizer, masked_update
+from ..utils.lod_annealing import constant_lod_weights, lod_weights
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Reference 'trainer'/'optimizer' config groups (defaults = best.yaml)."""
+
+    epochs: int = 800
+    batch_size: int = 6
+    num_rays_sampled_per_img: int = 4096
+
+    rgb_weight: float = 10.0
+    sem_weight: float = 0.1
+    sem_epoch_start: int = 601
+    sem_conf_enable: bool = False
+    sem_temperature: float = 1.0
+    sem_softmax: bool = True
+    sem_segment_reg_weight: float = 0.0
+    contrast_sem_weight: float = 0.0
+
+    inst_loss: str = "linear_assignment_things"
+    inst_weight: float = 1000.0
+    inst_epoch_start: int = 601
+    inst_conf_enable: bool = False
+    inst_outlier_rejection: bool = True
+    inst_segment_reg_weight: float = 1.0
+    inst_temperature: float = 0.07
+    base_temperature: float = 0.07
+    inst_pn_ratio: float = 0.5
+
+    optimize_extrinsics: bool = True
+    extrinsics_epoch_start: int = 0
+    extrinsics_epoch_end: int = -1
+    optimize_val_extrinsics: bool = True
+    val_extrinsics_start: int = 1
+    val_extrinsics_end: int = -1
+    val_extrinsics_every: int = 10
+
+    prune_every: int = 201
+    prune_at_epoch: int = -1
+    prune_at_start: bool = False
+    voxel_raymarch_epoch_start: int = 201
+    samples_per_voxel: int = 2
+
+    grid_tvl1_reg: float = 0.0
+    grid_tvl2_reg: float = 0.0
+    delta_grid_tvl1_reg: float = 0.0
+    delta_grid_tvl2_reg: float = 0.0
+    tv_window_size: float = 0.0001
+    tv_edge_num_samples: int = 100
+
+    lod_anneling: bool = False
+    lod_annel_epochs: int = 400
+    lod_annel_epoch_start: int = 0
+
+    valid_every: int = 100
+    render_batch: int = 8000
+    val_mip: int = 2
+    inst_num_dilations: int = 1
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class StageConfig:
+    """Static per-epoch snapshot keying the jitted step."""
+
+    channels: frozenset
+    raymarch_type: str
+    num_steps: int
+    use_sem: bool
+    use_inst: bool
+    use_inst_segment_reg: bool
+    training_val_poses: bool
+    extrinsics_on: bool
+
+
+class PanopticTrainer:
+    """Epoch-driven trainer over a (BA)Pipeline and a MultiviewDataset."""
+
+    def __init__(self, pipeline: Pipeline, dataset: MultiviewDataset,
+                 cfg: TrainerConfig = TrainerConfig(),
+                 opt_cfg: OptimizerConfig = OptimizerConfig(),
+                 occ_level: int = 7):
+        self.pipeline = pipeline
+        self.dataset = dataset
+        self.cfg = cfg
+        steps = dataset.steps_per_epoch(cfg.batch_size)
+        self.opt_cfg = dataclasses.replace(opt_cfg, num_epochs=cfg.epochs,
+                                           steps_per_epoch=steps)
+        self.steps_per_epoch = steps
+
+        self.rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.params = pipeline.init(key)
+        self.tx = build_optimizer(self.opt_cfg, self.params)
+        self.opt_state = self.tx.init(self.params)
+        self.occ = OccupancyGrid.create(level=occ_level)
+        nef = pipeline.nef
+        self.lod_w = jnp.asarray(constant_lod_weights(nef.grid.num_lods,
+                                                      nef.grid.feature_dim))
+        self.epoch = 0
+        self.global_step = 0
+        self.training_time = 0.0
+        self.log_dict: Dict[str, float] = {}
+        self._step_key = jax.random.PRNGKey(cfg.seed + 1)
+
+        si = dataset.semantic_info
+        self.num_classes = si["num_classes"]
+        self.num_instances = si["num_instances"]
+        self.stuff_ids = tuple(si["stuff_ids"])
+        self._train_step_cache: Dict[StageConfig, callable] = {}
+
+        ee = cfg.extrinsics_epoch_end if cfg.extrinsics_epoch_end >= 0 else cfg.epochs
+        ve = cfg.val_extrinsics_end if cfg.val_extrinsics_end >= 0 else cfg.epochs
+        self._extrinsics_end = ee
+        self._val_extrinsics_end = ve
+
+    # ------------------------------------------------------------- stages
+    def stage_for_epoch(self, epoch: int) -> StageConfig:
+        cfg = self.cfg
+        training_val_poses = (cfg.optimize_val_extrinsics
+                              and isinstance(self.pipeline, BAPipeline)
+                              and cfg.val_extrinsics_start <= epoch <= self._val_extrinsics_end
+                              and epoch % cfg.val_extrinsics_every == 0)
+        use_sem = (epoch >= cfg.sem_epoch_start and cfg.sem_weight > 0
+                   and "semantics" in self.dataset.data and not training_val_poses)
+        use_inst = (epoch >= cfg.inst_epoch_start and epoch >= cfg.sem_epoch_start
+                    and cfg.inst_weight > 0 and bool(cfg.inst_loss)
+                    and "instance" in self.dataset.data and not training_val_poses)
+        channels = {"rgb"}
+        if use_sem:
+            channels.add("semantics")
+        if use_inst:
+            channels.add("inst_embedding")
+        if cfg.inst_outlier_rejection and use_inst:
+            channels.add("depth")
+        voxel = epoch > cfg.voxel_raymarch_epoch_start
+        base = self.pipeline.tracer_cfg
+        return StageConfig(
+            channels=frozenset(channels),
+            raymarch_type="voxel" if voxel else base.raymarch_type,
+            num_steps=cfg.samples_per_voxel * 128 if voxel else base.num_steps,
+            use_sem=use_sem,
+            use_inst=use_inst,
+            use_inst_segment_reg=(cfg.inst_segment_reg_weight > 0
+                                  and epoch > cfg.inst_segment_reg_weight),
+            training_val_poses=training_val_poses,
+            extrinsics_on=(cfg.optimize_extrinsics
+                           and cfg.extrinsics_epoch_start <= epoch <= self._extrinsics_end),
+        )
+
+    # --------------------------------------------------------------- loss
+    def _compute_losses(self, params, batch, stage: StageConfig, key,
+                        occ: OccupancyGrid, lod_w) -> tuple:
+        cfg = self.cfg
+        tracer_cfg = dataclasses.replace(self.pipeline.tracer_cfg,
+                                         raymarch_type=stage.raymarch_type,
+                                         num_steps=stage.num_steps)
+        b, r = batch["imgs"].shape[:2]
+        base_rays = Rays(origins=batch["base_rays_origins"],
+                         dirs=batch["base_rays_dirs"],
+                         dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+        is_ba = isinstance(self.pipeline, BAPipeline)
+        kw = dict(tracer_cfg=tracer_cfg)
+        if is_ba:
+            kw["cam_idx"] = batch["cam_idx"]
+            rays_in = base_rays
+        else:
+            rays_in = Rays(origins=batch["rays_origins"].reshape(-1, 3),
+                           dirs=batch["rays_dirs"].reshape(-1, 3),
+                           dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+        rb = self.pipeline(params, rays_in, stage.channels, occ, lod_w,
+                           stage="train", key=key, **kw)
+
+        losses: Dict[str, jnp.ndarray] = {}
+        total = 0.0
+        if rb.ray_sparsity_loss is not None:
+            total = total + rb.ray_sparsity_loss
+            losses["ray_sparsity_loss"] = rb.ray_sparsity_loss
+
+        if cfg.rgb_weight > 0.0:
+            rloss = rgb_l1_loss(rb.rgb, batch["imgs"].reshape(-1, 3))
+            total = total + cfg.rgb_weight * rloss
+            losses["rgb_loss"] = rloss
+
+        if stage.use_sem:
+            sem_gts = batch.get("semantics_pred", batch["semantics"]).reshape(-1)
+            conf = batch["sem_conf"].reshape(-1) if (
+                cfg.sem_conf_enable and "sem_conf" in batch) else None
+            sloss = semantic_loss(rb.semantics, sem_gts, cfg.sem_softmax,
+                                  cfg.sem_temperature, conf)
+            if cfg.sem_segment_reg_weight > 0.0:
+                sloss = sloss + cfg.sem_segment_reg_weight * \
+                    segment_consistency_regularizer(
+                        (rb.semantics + 1e-27).reshape(b, r, -1),
+                        sem_gts.reshape(b, r), self.num_classes)
+            total = total + cfg.sem_weight * sloss
+            losses["sem_loss"] = sloss
+
+        if stage.use_inst:
+            inst_gts = batch.get("instance_pred", batch["instance"]).reshape(b, r)
+            sem_gts = batch.get("semantics_pred", batch["semantics"]).reshape(b, r)
+            inst_embed = rb.inst_embedding.reshape(b, r, -1)
+            stuff = jnp.isin(sem_gts, jnp.asarray(self.stuff_ids))
+            if cfg.inst_loss == "sup_contrastive":
+                things = ~stuff
+                undetected = things & (inst_gts == 0)
+                iloss = sup_contrastive_loss(inst_embed, inst_gts,
+                                             anchor_mask=~undetected,
+                                             temperature=cfg.inst_temperature,
+                                             base_temperature=cfg.base_temperature,
+                                             pn_ratio=cfg.inst_pn_ratio)
+            elif cfg.inst_loss == "linear_assignment":
+                iloss = lin_assignment_loss(inst_embed, inst_gts, self.num_instances)
+            elif cfg.inst_loss == "linear_assignment_things":
+                points_3d = None
+                if cfg.inst_outlier_rejection:
+                    world = self.pipeline.transform_rays(params, base_rays,
+                                                         batch["cam_idx"]) \
+                        if is_ba else rays_in
+                    points_3d = jax.lax.stop_gradient(
+                        rays_to_3d_points(world, rb.depth)).reshape(b, r, 3)
+                lmap = lin_assignment_things_loss(
+                    inst_embed, inst_gts, stuff, self.num_instances,
+                    points_3d=points_3d,
+                    outlier_rejection=cfg.inst_outlier_rejection)
+                if stage.use_inst_segment_reg:
+                    lmap = lmap + cfg.inst_segment_reg_weight * \
+                        segment_consistency_regularizer(
+                            inst_embed + 1e-27, inst_gts, self.num_instances)
+                if cfg.inst_conf_enable and "inst_conf" in batch:
+                    lmap = lmap * batch["inst_conf"].reshape(b, r)
+                iloss = lmap.mean()
+            else:
+                raise ValueError(f"instance loss '{cfg.inst_loss}' not supported")
+            total = total + cfg.inst_weight * iloss
+            losses["inst_loss"] = iloss
+
+        # grid TV regularizers (trainer.py:556-574)
+        if cfg.grid_tvl1_reg > 0.0 or cfg.grid_tvl2_reg > 0.0:
+            def grid_enc(c):
+                return self.pipeline.nef.apply(
+                    {"params": params["nef"]}, c,
+                    method=lambda m, cc: m._grid_feats(m.grid_module, cc, None))
+            k1, key = jax.random.split(key)
+            if cfg.grid_tvl1_reg > 0.0:
+                total = total + cfg.grid_tvl1_reg * grid_tv_l1_loss(
+                    grid_enc, k1, sample_size=cfg.tv_window_size,
+                    num_dim_samples=cfg.tv_edge_num_samples)
+            if cfg.grid_tvl2_reg > 0.0:
+                total = total + cfg.grid_tvl2_reg * grid_tv_l2_loss(
+                    grid_enc, k1, sample_size=cfg.tv_window_size,
+                    num_dim_samples=cfg.tv_edge_num_samples)
+        if cfg.delta_grid_tvl1_reg > 0.0 or cfg.delta_grid_tvl2_reg > 0.0:
+            def inst_enc(c):
+                out = self.pipeline.query_nef(params, c, None, {"inst_embedding"})
+                return out["inst_embedding"]
+            k2, key = jax.random.split(key)
+            w = cfg.delta_grid_tvl1_reg + cfg.delta_grid_tvl2_reg
+            total = total + w * grid_tv_l1_loss(
+                inst_enc, k2, sample_size=cfg.tv_window_size,
+                num_dim_samples=cfg.tv_edge_num_samples)
+
+        losses["total_loss"] = total
+        return total, losses
+
+    # ---------------------------------------------------------- train step
+    def _make_train_step(self, stage: StageConfig):
+        def frozen_fn(path: str) -> bool:
+            if stage.training_val_poses:
+                return not path.startswith("extrinsics")
+            if path.startswith("extrinsics"):
+                return not stage.extrinsics_on
+            return False
+
+        @jax.jit
+        def step(params, opt_state, occ, lod_w, batch, key):
+            def loss_fn(p):
+                return self._compute_losses(p, batch, stage, key, occ, lod_w)
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = masked_update(self.tx, grads, opt_state, params,
+                                             frozen_fn)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, losses
+
+        return step
+
+    def train_step(self, stage: StageConfig, batch: Dict[str, np.ndarray]):
+        if stage not in self._train_step_cache:
+            self._train_step_cache[stage] = self._make_train_step(stage)
+        self._step_key, k = jax.random.split(self._step_key)
+        jbatch = {key: jnp.asarray(v) for key, v in batch.items()}
+        self.params, self.opt_state, losses = self._train_step_cache[stage](
+            self.params, self.opt_state, self.occ, self.lod_w, jbatch, k)
+        self.global_step += 1
+        return losses
+
+    # -------------------------------------------------------------- prune
+    def prune(self, chunk: int = 65536):
+        """Occupancy maintenance (reference nef.prune + optimizer re-init,
+        trainer.py:336-358, panoptic_delta_nef.py:63-104)."""
+        self._step_key, k = jax.random.split(self._step_key)
+        centers = self.occ.cell_centers_jittered(k)
+        channels = ("density",)
+        if "panoptic_density" in self.pipeline.nef.supported_channels():
+            channels = ("density", "panoptic_density")
+
+        @jax.jit
+        def density_at(params, pts):
+            dirs = jnp.ones_like(pts) / jnp.sqrt(3.0)
+            out = self.pipeline.query_nef(params, pts, dirs, frozenset(channels),
+                                          self.lod_w)
+            d = out["density"][..., 0]
+            if "panoptic_density" in out:
+                d = jnp.maximum(d, out["panoptic_density"][..., 0])
+            return d
+
+        n = centers.shape[0]
+        dens = []
+        for i in range(0, n, chunk):
+            dens.append(density_at(self.params, centers[i:i + chunk]))
+        density = jnp.concatenate(dens)
+        self.occ = self.occ.update_from_density(density)
+        # optimizer re-init after topology change (trainer.py:357-358)
+        self.opt_state = self.tx.init(self.params)
+        occ_frac = float(self.occ.mask.mean())
+        log.info("pruned occupancy: %.1f%% cells occupied", 100 * occ_frac)
+
+    # -------------------------------------------------------------- epochs
+    def should_prune(self, epoch: int) -> bool:
+        cfg = self.cfg
+        return ((cfg.prune_every > -1 and epoch > 0 and epoch % cfg.prune_every == 0)
+                or epoch == cfg.prune_at_epoch
+                or (cfg.prune_at_start and epoch == 0))
+
+    def run_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        stage = self.stage_for_epoch(epoch)
+        if cfg.lod_anneling and epoch >= cfg.lod_annel_epoch_start:
+            nef = self.pipeline.nef
+            self.lod_w = jnp.asarray(lod_weights(
+                self.global_step, nef.grid.num_lods, nef.grid.feature_dim,
+                cfg.lod_annel_epochs, self.steps_per_epoch))
+        split = "val" if stage.training_val_poses else "train"
+        totals: Dict[str, float] = {}
+        t0 = time.time()
+        for _ in range(self.steps_per_epoch):
+            batch = self.dataset.sample_batch(self.rng, cfg.batch_size,
+                                              cfg.num_rays_sampled_per_img, split)
+            losses = self.train_step(stage, batch)
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        for k in totals:
+            totals[k] /= self.steps_per_epoch
+        self.training_time += time.time() - t0
+        if self.should_prune(epoch):
+            self.prune()
+        self.epoch = epoch + 1
+        self.log_dict = totals
+        return totals
+
+    def train(self, on_epoch_end=None):
+        for epoch in range(self.epoch, self.cfg.epochs):
+            totals = self.run_epoch(epoch)
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, totals)
+
+    # ----------------------------------------------------------- rendering
+    def batch_render(self, rays: Rays, channels, cam_idx=None,
+                     stage_cfg: Optional[StageConfig] = None):
+        """Chunked full-image render (reference batch_render, trainer.py:637-649)."""
+        from ..core.render_buffer import RenderBuffer
+        cfg = self.pipeline.tracer_cfg
+        if stage_cfg is not None:
+            cfg = dataclasses.replace(cfg, raymarch_type=stage_cfg.raymarch_type,
+                                      num_steps=stage_cfg.num_steps)
+        flat = rays.flatten()
+        n = flat.origins.shape[0]
+        rbatch = self.cfg.render_batch
+        is_ba = isinstance(self.pipeline, BAPipeline)
+        if is_ba and cam_idx is not None:
+            flat = self.pipeline.transform_rays(
+                self.params, flat.reshape(1, -1), jnp.asarray([cam_idx]))
+        # pad to a multiple of the render batch for static chunk shapes
+        pad = (-n) % rbatch
+        padded = Rays(
+            origins=jnp.concatenate([flat.origins, jnp.zeros((pad, 3))]),
+            dirs=jnp.concatenate([flat.dirs, jnp.ones((pad, 3))]),
+            dist_min=flat.dist_min, dist_max=flat.dist_max)
+
+        cache_key = (frozenset(channels), cfg, rbatch)
+        if not hasattr(self, "_render_cache"):
+            self._render_cache = {}
+        if cache_key not in self._render_cache:
+            @jax.jit
+            def render_chunk(params, occ, lod_w, o, d):
+                rays_c = Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
+                              dist_max=jnp.float32(6.0))
+                return Pipeline.__call__(self.pipeline, params, rays_c,
+                                         frozenset(channels), occ, lod_w,
+                                         tracer_cfg=cfg)
+            self._render_cache[cache_key] = render_chunk
+        render_chunk = self._render_cache[cache_key]
+
+        outs = []
+        for i in range(0, n + pad, rbatch):
+            outs.append(render_chunk(self.params, self.occ, self.lod_w,
+                                     padded.origins[i:i + rbatch],
+                                     padded.dirs[i:i + rbatch]))
+        rb = RenderBuffer.concatenate(outs)
+        return jax.tree.map(lambda x: x[:n] if getattr(x, "ndim", 0) >= 1 and
+                            x.shape[0] == n + pad else x, rb)

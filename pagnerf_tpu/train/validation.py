@@ -1,0 +1,200 @@
+"""Validation: full-image rendering, metric evaluation, clustering fit, CSV logging.
+
+TPU-native equivalent of the reference validation path
+(/root/reference/pc_nerf/trainer.py:637-999): chunked rendering of every val image,
+PSNR / IoU / PQ / mAP, the 2-D-prediction baselines and their gains
+(iou_gain / pq_things_gain, trainer.py:906-914), instance-map cleanup (opening, CoM
+outlier rejection, small-mask drop) and metrics.csv appends.
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rays import Rays
+from ..utils.clustering import MeanShift
+from ..utils.metrics import IoU, MeanAveragePrecision, PSNR, PanopticQuality
+from ..utils.postprocess import clean_instance_map
+
+log = logging.getLogger(__name__)
+
+
+def _rays_from(imgs_data: Dict, idx: int, use_base: bool) -> Rays:
+    if use_base:
+        o = imgs_data["base_rays_origins"]
+        d = imgs_data["base_rays_dirs"]
+    else:
+        o = imgs_data["rays_origins"][idx]
+        d = imgs_data["rays_dirs"][idx]
+    return Rays(origins=jnp.asarray(o.reshape(-1, 3)),
+                dirs=jnp.asarray(d.reshape(-1, 3)),
+                dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+
+
+def train_clustering(trainer, num_samples: int = 20000) -> Optional[MeanShift]:
+    """Fit mean-shift on embeddings rendered at train-set instance pixels
+    (reference trainer.py:949-970)."""
+    ds = trainer.dataset
+    if "instance" not in ds.data:
+        return None
+    from ..models.pipeline import BAPipeline
+    is_ba = isinstance(trainer.pipeline, BAPipeline)
+    rng = np.random.default_rng(0)
+    n_imgs = len(ds.train_idxs)
+    per_img = max(1, num_samples // n_imgs)
+    embeds, labels = [], []
+    for idx in ds.train_idxs:
+        inst = ds.data["instance"][idx].reshape(-1)
+        pick = rng.choice(inst.shape[0], size=min(per_img, inst.shape[0]),
+                          replace=False)
+        if is_ba:
+            o = ds.data["base_rays_origins"].reshape(-1, 3)[pick]
+            d = ds.data["base_rays_dirs"].reshape(-1, 3)[pick]
+        else:
+            o = ds.data["rays_origins"][idx].reshape(-1, 3)[pick]
+            d = ds.data["rays_dirs"][idx].reshape(-1, 3)[pick]
+        rays = Rays(origins=jnp.asarray(o), dirs=jnp.asarray(d),
+                    dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+        rb = trainer.batch_render(rays, {"inst_embedding"},
+                                  cam_idx=int(idx) if is_ba else None)
+        e = np.asarray(rb.inst_embedding)
+        e = e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+        embeds.append(e)
+        labels.append(inst[pick])
+    ms = MeanShift()
+    ms.train_clustering(np.stack(embeds), np.stack(labels))
+    return ms
+
+
+def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
+                     clustering: Optional[MeanShift] = None,
+                     log_dir: Optional[str] = None) -> Dict[str, float]:
+    """Render every image in ``data`` and accumulate the metric suite
+    (reference evaluate_metrics, trainer.py:651-941)."""
+    cfg = trainer.cfg
+    sem_info = trainer.dataset.semantic_info
+    h, w = data["imgs"].shape[1:3]
+
+    psnr = PSNR()
+    iou = IoU(sem_info["num_classes"])
+    iou_pred = IoU(sem_info["num_classes"])
+    pq = PanopticQuality(set(sem_info["things_ids"]), set(sem_info["stuff_ids"]))
+    pq_pred = PanopticQuality(set(sem_info["things_ids"]), set(sem_info["stuff_ids"]))
+    mAP = MeanAveragePrecision()
+    mAP_pred = MeanAveragePrecision()
+
+    use_sem = epoch >= cfg.sem_epoch_start and "semantics" in data
+    use_inst = epoch >= cfg.inst_epoch_start and "instance" in data
+    channels = {"rgb", "depth"}
+    if use_sem:
+        channels.add("semantics")
+    if use_inst:
+        channels.add("inst_embedding")
+
+    use_base = cfg.optimize_val_extrinsics
+    render_time = 0.0
+    num_imgs = data["imgs"].shape[0]
+    have_labels = False
+    for i in range(num_imgs):
+        cam_idx = int(data["cam_idx"][i]) if use_base else None
+        rays = _rays_from(data, i, use_base)
+        t0 = time.time()
+        rb = trainer.batch_render(rays, channels, cam_idx=cam_idx)
+        render_time += time.time() - t0
+
+        rgb = np.asarray(rb.rgb).reshape(h, w, 3)
+        psnr.update(rgb, np.asarray(data["imgs"][i])[..., :3])
+
+        sem_map = None
+        if use_sem:
+            sem_gts = np.asarray(data["semantics"][i]).reshape(h, w)
+            sem_map = np.argmax(np.asarray(rb.semantics), -1).reshape(h, w)
+            labeled = not np.all(sem_gts == -1)
+            if labeled:
+                iou.update(sem_map, sem_gts)
+                if "semantics_pred" in data:
+                    iou_pred.update(np.asarray(data["semantics_pred"][i]), sem_gts)
+
+        if use_inst and sem_map is not None:
+            inst_gts = np.asarray(data["instance"][i]).reshape(h, w)
+            e = np.asarray(rb.inst_embedding)
+            if clustering is not None:
+                en = e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+                inst_map = clustering.predict_clusters(en).reshape(h, w)
+            else:
+                inst_map = np.argmax(e, -1).reshape(h, w)
+            inst_map, masks, _ = clean_instance_map(
+                inst_map, cfg.inst_num_dilations,
+                outlier_rejection=cfg.inst_outlier_rejection)
+            labeled = not np.all(sem_gts == -1) and not np.all(inst_gts == -1)
+            if labeled:
+                have_labels = True
+                pq.update(np.stack([sem_map, inst_map])[None],
+                          np.stack([sem_gts, inst_gts])[None])
+                gt_ids = np.unique(inst_gts)
+                gt_masks = (inst_gts[None] == gt_ids[1:][:, None, None])
+                mAP.update(masks.astype(bool), np.ones(masks.shape[0]), gt_masks)
+                if "instance_pred" in data and "semantics_pred" in data:
+                    ip = np.asarray(data["instance_pred"][i])
+                    sp = np.asarray(data["semantics_pred"][i])
+                    pq_pred.update(np.stack([sp, ip])[None],
+                                   np.stack([sem_gts, inst_gts])[None])
+                    p_ids = np.unique(ip)
+                    p_masks = (ip[None] == p_ids[1:][:, None, None])
+                    mAP_pred.update(p_masks, np.ones(p_masks.shape[0]), gt_masks)
+
+    metrics = {"val/psnr": psnr.compute(),
+               "val/render_time_per_img": render_time / max(num_imgs, 1)}
+    if use_sem:
+        metrics["val/iou"] = iou.compute()
+        metrics["val/iou_pred"] = iou_pred.compute()
+        metrics["val/iou_gain"] = metrics["val/iou"] - metrics["val/iou_pred"]
+    if use_inst and have_labels:
+        for res, suffix in ((pq.compute(), ""), (pq_pred.compute(), "_pred")):
+            for group, vals in res.items():
+                for k, v in vals.items():
+                    if k != "n":
+                        metrics[f"val/{k}_{group}{suffix}"] = v
+        metrics["val/pq_things_gain"] = (metrics.get("val/pq_things", 0.0)
+                                         - metrics.get("val/pq_things_pred", 0.0))
+        for res, suffix in ((mAP.compute(), ""), (mAP_pred.compute(), "_pred")):
+            for k, v in res.items():
+                metrics[f"val/{k}{suffix}"] = v
+
+    if log_dir:
+        append_metrics_csv(os.path.join(log_dir, "metrics.csv"),
+                           {**metrics, "epoch": epoch})
+    return metrics
+
+
+def append_metrics_csv(path: str, row: Dict):
+    """metrics.csv append (reference trainer.py:993-999)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=sorted(row.keys()))
+        if not exists:
+            writer.writeheader()
+        writer.writerow(row)
+
+
+def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None) -> Dict[str, float]:
+    """Full validation pass (reference validate, trainer.py:943-999)."""
+    clustering = None
+    if getattr(trainer.pipeline.nef, "use_clustering", False) and \
+            epoch >= trainer.cfg.inst_epoch_start:
+        clustering = train_clustering(trainer)
+    mip = trainer.cfg.val_mip
+    if epoch >= trainer.cfg.epochs:
+        mip = 0
+    data = trainer.dataset.get_images(split="val", mip=mip)
+    log.info("validation: %d images at %dx%d", data["imgs"].shape[0],
+             data["imgs"].shape[2], data["imgs"].shape[1])
+    return evaluate_metrics(trainer, epoch, data, clustering=clustering,
+                            log_dir=log_dir)

@@ -1,0 +1,149 @@
+"""Golden tests for the encoding kernels.
+
+The hash encoding is checked against an independent numpy implementation of the
+reference algorithm (grids/hash_grid_torch.py:13-108). The permutohedral encoding is
+checked via lattice invariants (barycentric partition of unity, simplex reconstruction,
+continuity) and gradient flow.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pagnerf_tpu.ops.hash_encoding import (HashEncodingSpec, geometric_resolutions,
+                                           hash_encode, init_hash_table)
+from pagnerf_tpu.ops.permuto_encoding import (PermutoEncodingSpec, _E,
+                                              permuto_encode,
+                                              simplex_vertices_and_weights)
+
+
+# ---------------------------------------------------------------------------
+# numpy reference of the hash-grid algorithm (independent re-implementation of
+# grids/hash_grid_torch.py for golden comparison)
+# ---------------------------------------------------------------------------
+
+def np_hash(coords, log2_t):
+    primes = [1, 2654435761, 805459861]
+    h = np.zeros(coords.shape[:-1], dtype=np.uint32)
+    for i in range(3):
+        h ^= (coords[..., i].astype(np.uint32) * np.uint32(primes[i]))
+    return (h & np.uint32((1 << log2_t) - 1)).astype(np.int64)
+
+
+def np_hash_encode(table, coords, resolutions, log2_t):
+    outs = []
+    corners = np.array([[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)])
+    for lvl, res in enumerate(resolutions):
+        grid_size = 2.0 / res
+        x = np.clip(coords, -1, 1)
+        cell = (x + 1.0) / grid_size
+        bl = np.floor(cell)
+        frac = cell - bl
+        idx = np_hash(bl[:, None, :].astype(np.int64) + corners[None], log2_t)
+        feats = table[lvl][idx]  # [N, 8, F]
+        w = np.where(corners[None].astype(bool), frac[:, None, :], 1 - frac[:, None, :])
+        w = w[..., 0] * w[..., 1] * w[..., 2]
+        outs.append((feats * w[..., None]).sum(1))
+    return np.concatenate(outs, -1)
+
+
+def test_hash_encode_matches_reference_algorithm(rng):
+    spec = HashEncodingSpec(num_levels=4, feature_dim=2, log2_table_size=10,
+                            base_resolution=4, finest_resolution=32)
+    table = spec.init(rng)
+    coords = jax.random.uniform(jax.random.PRNGKey(7), (64, 3), minval=-1, maxval=1)
+    got = np.asarray(spec.encode(table, coords))
+    want = np_hash_encode(np.asarray(table), np.asarray(coords), spec.resolutions,
+                          spec.log2_table_size)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (64, 8)
+
+
+def test_hash_encode_continuity(rng):
+    """Encoding must be continuous across voxel boundaries (trilinear)."""
+    spec = HashEncodingSpec(num_levels=2, feature_dim=2, log2_table_size=8,
+                            base_resolution=4, finest_resolution=8)
+    table = spec.init(rng)
+    eps = 1e-5
+    c0 = jnp.array([[0.5 - eps, 0.1, 0.2]])
+    c1 = jnp.array([[0.5 + eps, 0.1, 0.2]])
+    f0 = spec.encode(table, c0)
+    f1 = spec.encode(table, c1)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-3)
+
+
+def test_hash_encode_gradients_flow_to_table(rng):
+    spec = HashEncodingSpec(num_levels=2, feature_dim=2, log2_table_size=8,
+                            base_resolution=4, finest_resolution=8)
+    table = spec.init(rng)
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1, maxval=1)
+
+    def loss(t):
+        return jnp.sum(spec.encode(t, coords) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert np.asarray(jnp.abs(g).sum()) > 0.0
+
+
+def test_geometric_resolutions():
+    res = geometric_resolutions(16, 512, 16)
+    assert res[0] == 16 and res[-1] == 512
+    assert np.all(np.diff(res) > 0)
+
+
+# ---------------------------------------------------------------------------
+# permutohedral lattice invariants
+# ---------------------------------------------------------------------------
+
+def test_permuto_barycentric_partition_of_unity():
+    pts = jax.random.normal(jax.random.PRNGKey(0), (256, 3)) * 3.0
+    keys, bary = simplex_vertices_and_weights(pts)
+    b = np.asarray(bary)
+    np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-4)
+    assert (b > -1e-4).all(), "barycentric weights must be non-negative"
+
+
+def test_permuto_simplex_reconstruction():
+    """The barycentric combination of the 4 simplex vertices reproduces the elevated
+    point (defining property of barycentric coordinates)."""
+    pts = jax.random.normal(jax.random.PRNGKey(1), (128, 3)) * 2.0
+    keys, bary = simplex_vertices_and_weights(pts)
+    el = np.asarray(pts @ jnp.asarray(_E.T, jnp.float32))   # [N, 4]
+    k3 = np.asarray(keys, np.float64)                        # [N, 4, 3]
+    # 4th lattice coordinate implied by sum-zero constraint
+    k4 = -k3.sum(-1, keepdims=True)
+    verts = np.concatenate([k3, k4], axis=-1)                # [N, 4, 4]
+    recon = (np.asarray(bary)[..., None] * verts).sum(1)
+    np.testing.assert_allclose(recon, el, atol=2e-2)  # fp32 at lattice magnitudes
+
+
+def test_permuto_encode_shapes_and_grads(rng):
+    spec = PermutoEncodingSpec(num_levels=3, feature_dim=2, capacity_log2=10,
+                               coarsest_scale=1.0, finest_scale=0.01)
+    tables = spec.init(rng)
+    coords = jax.random.uniform(jax.random.PRNGKey(2), (32, 3), minval=-1, maxval=1)
+    out = spec.encode(tables, coords)
+    assert out.shape == (32, 6)
+
+    def loss(t):
+        return jnp.sum(spec.encode(t, coords) ** 2)
+
+    g = jax.grad(loss)(tables)
+    assert np.asarray(jnp.abs(g).sum()) > 0.0
+
+
+def test_permuto_encode_continuity():
+    spec = PermutoEncodingSpec(num_levels=2, feature_dim=2, capacity_log2=8,
+                               coarsest_scale=1.0, finest_scale=0.1)
+    tables = spec.init(jax.random.PRNGKey(3))
+    base = jnp.array([[0.123, -0.456, 0.789]])
+    eps = 1e-5
+    f0 = spec.encode(tables, base)
+    f1 = spec.encode(tables, base + eps)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-2)
+
+
+def test_permuto_scales_geomspace():
+    spec = PermutoEncodingSpec(num_levels=24, coarsest_scale=1.0, finest_scale=1e-4)
+    assert np.isclose(spec.scales[0], 1.0) and np.isclose(spec.scales[-1], 1e-4)
+    ratios = spec.scales[1:] / spec.scales[:-1]
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-6)

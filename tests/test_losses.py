@@ -1,0 +1,155 @@
+"""Loss unit tests: Hungarian virtual labels, things variant + repeated-ID rejection,
+SupCon, regularizers, photometric."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pagnerf_tpu.losses.lin_assignment import (add_position_id_range_cost,
+                                               centers_from_points_with_labels,
+                                               hungarian_assign,
+                                               lin_assignment_loss,
+                                               lin_assignment_things_loss)
+from pagnerf_tpu.losses.photometric import rgb_l1_loss, semantic_loss
+from pagnerf_tpu.losses.regularizers import (grid_tv_l1_loss,
+                                             segment_consistency_regularizer,
+                                             sigma_sparsity_loss)
+from pagnerf_tpu.losses.sup_contrastive import sup_contrastive_loss
+
+
+def test_hungarian_assign_diagonal():
+    cost = jnp.array([[0.0, 1, 1], [1, 0, 1], [1, 1, 0.0]])
+    present = jnp.array([True, True, True])
+    a = np.asarray(hungarian_assign(cost, present))
+    np.testing.assert_array_equal(a, [0, 1, 2])
+
+
+def test_hungarian_absent_rows_ignored():
+    cost = jnp.array([[0.0, 0, 0], [9, 0, 9], [0, 0, 0.0]])
+    present = jnp.array([False, True, False])
+    a = np.asarray(hungarian_assign(cost, present))
+    assert a[1] == 1
+    assert a[0] == 0 and a[2] == 0  # absent rows default to 0
+
+
+def test_lin_assignment_zero_when_consistent():
+    """If predictions already match an optimal assignment, the loss is zero
+    (reference: 'should never reinforce correct labels', lin_assignment.py:35)."""
+    b, r, m = 1, 16, 4
+    labels = jnp.array([[i % 3 for i in range(r)]])
+    probs = jax.nn.one_hot(labels, m) * 0.97 + 0.01
+    loss = lin_assignment_loss(probs, labels, num_labels=m)
+    assert float(loss) == 0.0
+
+
+def test_lin_assignment_positive_when_wrong():
+    b, r, m = 1, 12, 4
+    labels = jnp.array([[i % 2 for i in range(r)]])
+    key = jax.random.PRNGKey(0)
+    probs = jax.nn.softmax(jax.random.normal(key, (b, r, m)), -1)
+    loss = lin_assignment_loss(probs, labels, num_labels=m)
+    assert float(loss) > 0.0
+
+
+def test_things_loss_reserves_slot_zero():
+    """Stuff pixels map to slot 0; things labels to slots >= 1."""
+    b, r, m, k = 1, 20, 5, 6
+    gt = jnp.array([[0] * 10 + [1] * 5 + [2] * 5])
+    stuff = gt == 0
+    # predictions: stuff pixels love slot 0; things are uniform (wrong -> loss)
+    probs = jnp.full((b, r, m), 1.0 / m)
+    loss_map = lin_assignment_things_loss(probs, gt, stuff, num_labels=k)
+    assert loss_map.shape == (b, r)
+    assert float(loss_map.sum()) > 0.0
+    # perfect case: zero loss
+    assign_probs = jnp.zeros((b, r, m)).at[0, :10, 0].set(1.0)
+    assign_probs = assign_probs.at[0, 10:15, 1].set(1.0).at[0, 15:, 2].set(1.0)
+    assign_probs = assign_probs * 0.97 + 0.005
+    lm = lin_assignment_things_loss(assign_probs, gt, stuff, num_labels=k)
+    np.testing.assert_allclose(np.asarray(lm), 0.0, atol=1e-6)
+
+
+def test_centers_from_points():
+    pts = jnp.array([[0.0, 0, 0], [2, 0, 0], [4, 4, 4]])
+    labels = jnp.array([1, 1, 2])
+    w = jnp.ones(3)
+    c = centers_from_points_with_labels(pts, labels, w, 4)
+    np.testing.assert_allclose(np.asarray(c[1]), [1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c[2]), [4, 4, 4], atol=1e-5)
+
+
+def test_position_id_range_cost_penalises_out_of_band():
+    k, m = 3, 60
+    cost = jnp.zeros((k, m))
+    centers_x = jnp.array([1.0, -1.0, 0.0])  # remapped -> x=0, 1, 0.5
+    present = jnp.array([True, True, False])
+    out = np.asarray(add_position_id_range_cost(cost, centers_x, present))
+    assert (out[0] >= 10000).any() and (out[0] == 0).any()
+    np.testing.assert_allclose(out[2], 0.0)  # absent rows untouched
+
+
+def test_things_loss_outlier_rejection_runs():
+    b, r, m, k = 1, 16, 5, 6
+    gt = jnp.array([[0] * 8 + [1] * 4 + [2] * 4])
+    stuff = gt == 0
+    probs = jnp.full((b, r, m), 1.0 / m)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (b, r, 3), minval=-1, maxval=1)
+    lm = lin_assignment_things_loss(probs, gt, stuff, num_labels=k,
+                                    points_3d=pts, outlier_rejection=True)
+    assert np.isfinite(np.asarray(lm)).all()
+
+
+def test_supcon_separable_embeddings_low_loss():
+    key = jax.random.PRNGKey(0)
+    labels = jnp.array([[0] * 8 + [1] * 8])
+    # clustered features -> low loss; random features -> higher loss
+    base = jax.nn.one_hot(labels, 4) * 5.0
+    clustered = base + 0.01 * jax.random.normal(key, base.shape)
+    rand = jax.random.normal(key, base.shape)
+    l_c = float(sup_contrastive_loss(clustered, labels))
+    l_r = float(sup_contrastive_loss(rand, labels))
+    assert l_c < l_r
+
+
+def test_supcon_anchor_mask():
+    labels = jnp.array([[0, 0, 1, 1]])
+    feats = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8))
+    mask = jnp.array([[True, True, False, False]])
+    out = sup_contrastive_loss(feats, labels, anchor_mask=mask)
+    assert np.isfinite(float(out))
+
+
+def test_segment_consistency_zero_when_consistent():
+    b, r, c, k = 1, 12, 4, 5
+    labels = jnp.array([[1] * 6 + [2] * 6])
+    probs = jax.nn.one_hot(jnp.array([[1] * 6 + [2] * 6]), c) * 0.97 + 0.01
+    loss = segment_consistency_regularizer(probs, labels, num_segments=k)
+    # consistent segments: loss is the NLL of confident correct predictions (small)
+    assert float(loss) < 0.1
+    # inconsistent: one pixel disagrees inside segment 1
+    bad = probs.at[0, 0].set(jnp.array([0.01, 0.01, 0.97, 0.01]))
+    loss_bad = segment_consistency_regularizer(bad, labels, num_segments=k)
+    assert float(loss_bad) > float(loss)
+
+
+def test_sigma_sparsity():
+    s = sigma_sparsity_loss(jnp.array([0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(s), [0.0, np.log(3.0)], atol=1e-6)
+
+
+def test_grid_tv_l1_smooth_vs_rough():
+    smooth = lambda x: jnp.ones((x.shape[0], 2))
+    rough = lambda x: jnp.sin(x[:, :2] * 50.0)
+    key = jax.random.PRNGKey(0)
+    l_s = float(grid_tv_l1_loss(smooth, key, sample_size=0.2, num_dim_samples=4))
+    l_r = float(grid_tv_l1_loss(rough, key, sample_size=0.2, num_dim_samples=4))
+    assert l_s < 1e-6 < l_r
+
+
+def test_photometric_losses():
+    assert float(rgb_l1_loss(jnp.ones((4, 3)), jnp.ones((4, 3)))) == 0.0
+    probs = jnp.array([[0.9, 0.1], [0.2, 0.8]])
+    t = jnp.array([0, 1])
+    l = semantic_loss(probs, t, sem_softmax=True)
+    np.testing.assert_allclose(float(l), -(np.log(0.9) + np.log(0.8)) / 2, rtol=1e-5)
+    lw = semantic_loss(probs, t, sem_softmax=True, conf=jnp.array([1.0, 0.0]))
+    np.testing.assert_allclose(float(lw), -np.log(0.9) / 2, rtol=1e-5)

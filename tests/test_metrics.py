@@ -1,0 +1,91 @@
+"""Metric tests. The PQ example is the reference's own doctest
+(utils/metrics/panoptic_quality.py:57-88) — expected pq_all = 0.5463."""
+import numpy as np
+
+from pagnerf_tpu.utils.metrics import (IoU, MeanAveragePrecision, PSNR,
+                                       PanopticQuality, _mask_iou)
+
+
+def test_psnr():
+    m = PSNR()
+    m.update(np.full((4, 4), 0.5), np.full((4, 4), 0.5))
+    assert m.compute() > 100  # identical -> huge psnr
+    m2 = PSNR()
+    m2.update(np.zeros((10, 10)), np.full((10, 10), 0.1))
+    np.testing.assert_allclose(m2.compute(), 20.0, atol=1e-5)
+
+
+def test_iou_macro():
+    m = IoU(num_classes=3)
+    pred = np.array([0, 0, 1, 1, 2, 2])
+    tgt = np.array([0, 0, 1, 2, 2, 2])
+    m.update(pred, tgt)
+    # class0: 2/2=1; class1: 1/2; class2: 2/3
+    np.testing.assert_allclose(m.compute(), (1 + 0.5 + 2 / 3) / 3, atol=1e-6)
+
+
+def test_panoptic_quality_reference_example():
+    pred_sem = np.array([[6, 0, 6, 6],
+                         [0, 0, 6, 0],
+                         [0, 0, 6, 0],
+                         [0, 7, 6, 1],
+                         [0, 7, 7, 7]])
+    pred_inst = np.array([[0, 0, 0, 0],
+                          [0, 0, 0, 9],
+                          [0, 0, 0, 9],
+                          [0, 0, 0, 0],
+                          [0, 0, 0, 0]])
+    tgt_sem = np.array([[6, 0, 6, 0],
+                        [0, 0, 6, 0],
+                        [0, 0, 6, 1],
+                        [0, 7, 1, 1],
+                        [0, 7, 7, 7]])
+    tgt_inst = np.array([[0, 1, 0, 1],
+                         [1, 1, 0, 1],
+                         [1, 1, 0, 0],
+                         [1, 0, 0, 0],
+                         [1, 0, 0, 0]])
+    pred = np.stack([pred_sem, pred_inst])[None]
+    target = np.stack([tgt_sem, tgt_inst])[None]
+    pq = PanopticQuality(things={0, 1}, stuff={6, 7},
+                         allow_unknown_preds_category=True)
+    pq.update(pred, target)
+    res = pq.compute()
+    np.testing.assert_allclose(res["all"]["pq"], 0.5463, atol=1e-3)
+
+
+def test_panoptic_quality_perfect():
+    sem = np.random.default_rng(0).integers(0, 2, (1, 8, 8))
+    inst = (sem == 1).astype(np.int64) * 3
+    img = np.stack([sem, inst], axis=1)
+    pq = PanopticQuality(things={1}, stuff={0})
+    pq.update(img, img)
+    res = pq.compute()
+    assert res["all"]["pq"] == 1.0
+    assert res["things"]["pq"] == 1.0
+
+
+def test_mask_iou():
+    a = np.zeros((1, 4, 4), bool); a[0, :2] = True
+    b = np.zeros((2, 4, 4), bool); b[0, :2] = True; b[1, 2:] = True
+    iou = _mask_iou(a, b)
+    np.testing.assert_allclose(iou, [[1.0, 0.0]], atol=1e-9)
+
+
+def test_map_perfect_predictions():
+    m = MeanAveragePrecision()
+    gt = np.zeros((2, 8, 8), bool); gt[0, :4] = True; gt[1, 4:] = True
+    m.update(gt.copy(), np.ones(2), gt)
+    res = m.compute()
+    np.testing.assert_allclose(res["map"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(res["map_50"], 1.0, atol=1e-6)
+
+
+def test_map_half_matched():
+    m = MeanAveragePrecision()
+    gt = np.zeros((2, 8, 8), bool); gt[0, :4] = True; gt[1, 4:] = True
+    pred = np.zeros((2, 8, 8), bool); pred[0, :4] = True  # second mask empty-wrong
+    pred[1, 0, 0] = True
+    m.update(pred, np.array([0.9, 0.8]), gt)
+    res = m.compute()
+    assert 0.0 < res["map_50"] < 1.0

@@ -1,0 +1,222 @@
+"""NeF / tracer / pipeline tests — shapes, channel gating, and the three
+stop-gradient contracts (SURVEY.md §7 hard part 3):
+  1. feature-level: panoptic heads see detached colour features
+     (panoptic_delta_nef.py:214-226)
+  2. density-level: panoptic_density detaches the raw density logit
+     (panoptic_dd_nef.py:248-252)
+  3. integration-level: panoptic channels integrate under detached tau
+     (panoptic_packed_rf_tracer.py:148-156)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pagnerf_tpu.core.rays import Rays
+from pagnerf_tpu.models.nefs import (GridConfig, PanopticDDensityNeF,
+                                     PanopticDeltaNeF, PanopticNeF)
+from pagnerf_tpu.models.pipeline import BAPipeline, Pipeline
+from pagnerf_tpu.models.tracer import TracerConfig, trace
+from pagnerf_tpu.ops.occupancy import OccupancyGrid
+
+TINY_GRID = GridConfig(grid_type="PermutoGrid", num_lods=3, feature_dim=2,
+                       capacity_log2=8, coarsest_scale=1.0, finest_scale=0.05)
+TINY_HASH = GridConfig(grid_type="HashGrid", num_lods=3, feature_dim=2,
+                       log2_table_size=8, base_resolution=4, finest_resolution=16)
+
+ALL_CH = frozenset({"density", "rgb", "semantics", "inst_embedding"})
+
+
+def make_nef(cls=PanopticDeltaNeF, grid=TINY_GRID, **kw):
+    defaults = dict(grid=grid, num_classes=5, num_instances=8, hidden_dim=16,
+                    sem_softmax=True, inst_softmax=True,
+                    panoptic_features_type="delta")
+    if cls is PanopticNeF:
+        defaults.pop("panoptic_features_type")
+    defaults.update(kw)
+    return cls(**defaults)
+
+
+def init_nef(nef, n=12):
+    coords = jax.random.uniform(jax.random.PRNGKey(0), (n, 3), minval=-1, maxval=1)
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    params = nef.init(jax.random.PRNGKey(2), coords, dirs, nef.supported_channels())
+    return params, coords, dirs
+
+
+def test_panoptic_nef_shapes_and_gating():
+    nef = make_nef(PanopticNeF, grid=TINY_HASH)
+    params, coords, dirs = init_nef(nef)
+    out = nef.apply(params, coords, dirs, ALL_CH)
+    assert out["density"].shape == (12, 1)
+    assert out["rgb"].shape == (12, 3)
+    assert out["semantics"].shape == (12, 5)
+    assert out["inst_embedding"].shape == (12, 8)
+    assert (np.asarray(out["density"]) >= 0).all()
+    np.testing.assert_allclose(np.asarray(out["semantics"]).sum(-1), 1.0, atol=1e-5)
+    # gating: only requested channels materialise
+    only_d = nef.apply(params, coords, dirs, frozenset({"density"}))
+    assert set(only_d.keys()) == {"density"}
+
+
+def test_delta_nef_param_structure():
+    nef = make_nef()
+    params, _, _ = init_nef(nef)
+    names = set(params["params"].keys())
+    assert "grid" in names and "delta_grid" in names
+    assert {"decoder_density", "decoder_color", "decoder_semantics",
+            "decoder_inst"} <= names
+
+
+def test_delta_nef_stop_gradient_contract():
+    """Semantic loss must not update the main grid; RGB loss must not update the
+    delta grid (panoptic_delta_nef.py:214-226)."""
+    nef = make_nef()
+    params, coords, dirs = init_nef(nef)
+
+    def sem_loss(p):
+        out = nef.apply(p, coords, dirs, frozenset({"semantics", "inst_embedding"}))
+        return jnp.sum(out["semantics"] ** 2) + jnp.sum(out["inst_embedding"] ** 2)
+
+    g = jax.grad(sem_loss)(params)["params"]
+    assert float(jnp.abs(g["grid"]["tables"]).sum()) == 0.0
+    assert float(jnp.abs(g["delta_grid"]["tables"]).sum()) > 0.0
+    assert float(sum(jnp.abs(x).sum() for x in jax.tree.leaves(g["decoder_semantics"]))) > 0.0
+    # no gradient into the colour/density decoders from panoptic channels
+    assert float(sum(jnp.abs(x).sum() for x in jax.tree.leaves(g["decoder_density"]))) == 0.0
+
+    def rgb_loss(p):
+        out = nef.apply(p, coords, dirs, frozenset({"rgb"}))
+        return jnp.sum(out["rgb"] ** 2)
+
+    g2 = jax.grad(rgb_loss)(params)["params"]
+    assert float(jnp.abs(g2["grid"]["tables"]).sum()) > 0.0
+    assert float(jnp.abs(g2["delta_grid"]["tables"]).sum()) == 0.0
+
+
+def test_delta_nef_feature_modes():
+    for mode in ["delta", "separate", "appearance", "pos_encoding", "position"]:
+        nef = make_nef(panoptic_features_type=mode)
+        params, coords, dirs = init_nef(nef, n=6)
+        out = nef.apply(params, coords, dirs, frozenset({"semantics"}))
+        assert out["semantics"].shape == (6, 5), mode
+
+
+def test_dd_nef_density_stop_gradient():
+    """panoptic_density must not backprop into the main density decoder
+    (panoptic_dd_nef.py:248-252)."""
+    nef = make_nef(PanopticDDensityNeF)
+    params, coords, dirs = init_nef(nef)
+    out = nef.apply(params, coords, dirs,
+                    frozenset({"density", "panoptic_density", "delta_density"}))
+    assert out["panoptic_density"].shape == (12, 1)
+    assert (np.asarray(out["panoptic_density"]) >= 0).all()
+
+    def pd_loss(p):
+        o = nef.apply(p, coords, dirs, frozenset({"panoptic_density"}))
+        return jnp.sum(o["panoptic_density"] ** 2)
+
+    g = jax.grad(pd_loss)(params)["params"]
+    assert float(sum(jnp.abs(x).sum() for x in jax.tree.leaves(g["decoder_density"]))) == 0.0
+    assert float(sum(jnp.abs(x).sum() for x in jax.tree.leaves(g["decoder_delta_density"]))) > 0.0
+    assert float(jnp.abs(g["grid"]["tables"]).sum()) == 0.0
+    assert float(jnp.abs(g["delta_grid"]["tables"]).sum()) > 0.0
+
+
+def make_test_rays(n=16):
+    o = jnp.tile(jnp.array([[0.0, 0.0, 2.5]]), (n, 1))
+    ang = jnp.linspace(-0.3, 0.3, n)
+    d = jnp.stack([jnp.sin(ang), jnp.zeros_like(ang), -jnp.cos(ang)], -1)
+    return Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
+                dist_max=jnp.float32(6.0))
+
+
+def test_tracer_shapes_and_bg():
+    nef = make_nef()
+    params, _, _ = init_nef(nef)
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(8)
+    cfg = TracerConfig(num_steps=16, bg_color="white", ray_max_travel=2.0)
+
+    def nef_fn(c, d, ch):
+        return nef.apply(params, c, d, frozenset(ch))
+
+    rb = trace(nef_fn, rays, occ, cfg,
+               frozenset({"rgb", "depth", "semantics", "inst_embedding"}))
+    assert rb.rgb.shape == (8, 3)
+    assert rb.depth.shape == (8, 1)
+    assert rb.alpha.shape == (8, 1)
+    assert rb.hit.shape == (8,)
+    assert rb.semantics.shape == (8, 5)
+    assert rb.inst_embedding.shape == (8, 8)
+    # fresh model: colours near sigmoid(0)=0.5 blended with white bg
+    assert 0.3 < np.asarray(rb.rgb).mean() < 1.01
+
+
+def test_tracer_integration_stop_gradient():
+    """Panoptic ray outputs must not produce gradients on the density path
+    (tracer detached integration, panoptic_packed_rf_tracer.py:148-156)."""
+    nef = make_nef()
+    params, _, _ = init_nef(nef)
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(4)
+    cfg = TracerConfig(num_steps=8)
+
+    def loss(p):
+        def nef_fn(c, d, ch):
+            return nef.apply(p, c, d, frozenset(ch))
+        rb = trace(nef_fn, rays, occ, cfg, frozenset({"semantics"}), stage="train")
+        return jnp.sum(rb.semantics ** 2)
+
+    g = jax.grad(loss)(params)["params"]
+    assert float(sum(jnp.abs(x).sum() for x in jax.tree.leaves(g["decoder_density"]))) == 0.0
+    assert float(jnp.abs(g["grid"]["tables"]).sum()) == 0.0
+    assert float(jnp.abs(g["delta_grid"]["tables"]).sum()) > 0.0
+
+
+def test_dd_tracer_panoptic_density_transmittance():
+    nef = make_nef(PanopticDDensityNeF)
+    params, _, _ = init_nef(nef)
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(4)
+    cfg = TracerConfig(tracer_type="PanopticDDensityPackedRFTracer", num_steps=8)
+
+    def nef_fn(c, d, ch):
+        return nef.apply(params, c, d, frozenset(ch))
+
+    rb = trace(nef_fn, rays, occ, cfg, frozenset({"rgb", "semantics"}))
+    assert rb.semantics.shape == (4, 5)
+    assert rb.panoptic_alpha.shape == (4, 1)
+
+
+def test_ba_pipeline_pose_gradients():
+    """Pose parameters receive gradients through the render; anchor frames don't
+    (ba_pipeline.py:56-61)."""
+    nef = make_nef(grid=TINY_HASH)
+    views = jnp.tile(jnp.eye(4)[None], (3, 1, 1))
+    pipe = BAPipeline(nef, TracerConfig(num_steps=8), views, anchor_frame_idxs=[0])
+    params = pipe.init(jax.random.PRNGKey(0))
+    assert params["extrinsics"].shape == (3, 9)
+    occ = OccupancyGrid.create(level=3)
+    base = make_test_rays(6).reshape(2, 3)
+    cam_idx = jnp.array([0, 2])
+
+    def loss(p):
+        rb = pipe(p, base, frozenset({"rgb"}), occ, cam_idx=cam_idx)
+        return jnp.sum(rb.rgb ** 2)
+
+    g = jax.grad(loss)(params)
+    ge = np.asarray(jnp.abs(g["extrinsics"]).sum(axis=-1))
+    assert ge[0] == 0.0          # anchor frame masked
+    assert ge[2] > 0.0           # optimised frame gets pose gradients
+    assert ge[1] == 0.0          # camera not in batch
+
+
+def test_pipeline_render_plain():
+    nef = make_nef(grid=TINY_HASH)
+    pipe = Pipeline(nef, TracerConfig(num_steps=8))
+    params = pipe.init(jax.random.PRNGKey(0))
+    occ = OccupancyGrid.create(level=3)
+    rb = pipe(params, make_test_rays(5), frozenset({"rgb", "depth"}), occ)
+    assert rb.rgb.shape == (5, 3) and rb.depth.shape == (5, 1)

@@ -1,0 +1,120 @@
+"""Raymarch + compositing tests: AABB intersection, occupancy skipping, max-travel
+filter, exponential integration vs closed form."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pagnerf_tpu.core.rays import Rays
+from pagnerf_tpu.ops.composite import (composite_channel, composite_scalar,
+                                       exponential_integration_weights)
+from pagnerf_tpu.ops.occupancy import OccupancyGrid
+from pagnerf_tpu.ops.raymarch import aabb_intersect, raymarch
+
+
+def make_rays(origins, dirs, dist_max=6.0):
+    o = jnp.asarray(origins, jnp.float32)
+    d = jnp.asarray(dirs, jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
+                dist_max=jnp.float32(dist_max))
+
+
+def test_aabb_intersect():
+    rays = make_rays([[0, 0, 3], [0, 0, 3], [5, 5, 5]],
+                     [[0, 0, -1], [0, 1, 0], [1, 1, 1]])
+    t_near, t_far, hit = aabb_intersect(rays)
+    assert bool(hit[0]) and not bool(hit[1]) and not bool(hit[2])
+    np.testing.assert_allclose(float(t_near[0]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(float(t_far[0]), 4.0, atol=1e-5)
+
+
+def test_raymarch_samples_inside_cube():
+    occ = OccupancyGrid.create(level=4)
+    rays = make_rays([[0, 0, 3]], [[0, 0, -1]])
+    rm = raymarch(rays, occ, num_steps=32)
+    pos = np.asarray(rm.positions[rm.mask])
+    assert pos.shape[0] > 0
+    assert (np.abs(pos) <= 1.0 + 1e-4).all()
+    # deltas consistent with depth spacing
+    np.testing.assert_allclose(np.asarray(rm.deltas[0])[0],
+                               (np.asarray(rm.depths[0])[-1] - np.asarray(rm.depths[0])[0])
+                               / 31, rtol=0.1)
+
+
+def test_raymarch_occupancy_skipping():
+    occ = OccupancyGrid.create(level=3)
+    res = occ.res
+    # empty out the z > 0 half of the cube
+    ijk = np.stack(np.meshgrid(np.arange(res), np.arange(res), np.arange(res),
+                               indexing="ij"), -1).reshape(-1, 3)
+    z_center = (ijk[:, 2] + 0.5) / res * 2 - 1
+    mask = z_center < 0
+    occ = OccupancyGrid(occupancy=jnp.asarray(mask, jnp.float32),
+                        mask=jnp.asarray(mask), level=3)
+
+    rays = make_rays([[0.01, 0.01, 3]], [[0, 0, -1]])
+    rm = raymarch(rays, occ, num_steps=64)
+    valid_z = np.asarray(rm.positions[..., 2])[np.asarray(rm.mask)]
+    assert valid_z.size > 0 and (valid_z < 0).all()
+
+
+def test_raymarch_max_travel_filter():
+    occ = OccupancyGrid.create(level=3)
+    rays = make_rays([[0, 0, 3]], [[0, 0, -1]])
+    rm = raymarch(rays, occ, num_steps=64, ray_max_travel=0.5)
+    d = np.asarray(rm.depths)[np.asarray(rm.mask)]
+    assert d.size > 0
+    assert d.max() - d.min() <= 0.5 + 1e-5
+
+
+def test_voxel_mode_concentrates_samples():
+    occ = OccupancyGrid.create(level=3)
+    rays = make_rays([[0, 0, 3]], [[0, 0, -1]])
+    rm = raymarch(rays, occ, num_steps=16, raymarch_type="voxel", ray_max_travel=0.5)
+    d = np.asarray(rm.depths[0])
+    # all samples within [first hit, first hit + max_travel]
+    assert d.max() - d.min() <= 0.5 + 1e-5
+
+
+def test_exponential_integration_matches_closed_form():
+    # constant density sigma over a segment: alpha = 1 - exp(-sigma * L)
+    r, s = 1, 256
+    sigma = 3.0
+    length = 1.5
+    tau = jnp.full((r, s), sigma * length / s)
+    mask = jnp.ones((r, s), bool)
+    weights, alpha = exponential_integration_weights(tau, mask)
+    np.testing.assert_allclose(float(alpha[0, 0]), 1 - np.exp(-sigma * length),
+                               rtol=1e-5)
+    # weights implement w_i = T_i (1 - exp(-tau_i)) with exclusive transmittance
+    w = np.asarray(weights[0])
+    t = np.exp(-np.cumsum(np.asarray(tau[0]))) / np.exp(-np.asarray(tau[0]))
+    np.testing.assert_allclose(w, t * (1 - np.exp(-np.asarray(tau[0]))), rtol=1e-5)
+
+
+def test_exponential_integration_masked_samples_zero():
+    tau = jnp.ones((2, 8))
+    mask = jnp.zeros((2, 8), bool).at[0, :4].set(True)
+    weights, alpha = exponential_integration_weights(tau, mask)
+    assert float(alpha[1, 0]) == 0.0
+    assert np.asarray(weights[0, 4:]).sum() == 0.0
+
+
+def test_composite_channel_and_scalar():
+    weights = jnp.array([[0.5, 0.25]])
+    feats = jnp.array([[[1.0, 0.0], [0.0, 1.0]]])
+    out = composite_channel(feats, weights)
+    np.testing.assert_allclose(np.asarray(out), [[0.5, 0.25]], atol=1e-6)
+    depths = jnp.array([[2.0, 4.0]])
+    np.testing.assert_allclose(float(composite_scalar(depths, weights)[0, 0]), 2.0,
+                               atol=1e-6)
+
+
+def test_occupancy_prune_update():
+    occ = OccupancyGrid.create(level=2)
+    assert bool(occ.mask.all())  # starts fully visible
+    density = jnp.zeros((occ.res ** 3,)).at[0].set(10.0)
+    new = occ.update_from_density(density)
+    assert float(new.occupancy[0]) == 10.0
+    # only the dense cell survives the threshold (10 > 2.96 > 0)
+    assert bool(new.mask[0]) and not bool(new.mask[1:].any())

@@ -1,0 +1,113 @@
+"""End-to-end training smoke tests on the synthetic sphere scene (SURVEY.md §4:
+CPU-runnable 'minimum end-to-end slice')."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pagnerf_tpu.data.multiview import MultiviewDataset
+from pagnerf_tpu.data.synthetic import make_dataset
+from pagnerf_tpu.models.nefs import GridConfig, PanopticDeltaNeF
+from pagnerf_tpu.models.pipeline import BAPipeline
+from pagnerf_tpu.models.tracer import TracerConfig
+from pagnerf_tpu.train.optimizer import OptimizerConfig
+from pagnerf_tpu.train.trainer import PanopticTrainer, TrainerConfig
+
+GRID = GridConfig(grid_type="HashGrid", num_lods=4, feature_dim=2,
+                  log2_table_size=12, base_resolution=4, finest_resolution=32)
+
+
+def make_trainer(**cfg_kw):
+    data = make_dataset(num_views=4, width=24, height=18, num_spheres=2)
+    ds = MultiviewDataset(data)
+    si = ds.semantic_info
+    nef = PanopticDeltaNeF(grid=GRID, num_classes=si["num_classes"],
+                           num_instances=si["num_instances"], hidden_dim=16,
+                           panoptic_features_type="delta")
+    pipe = BAPipeline(nef, TracerConfig(num_steps=24, ray_max_travel=2.0),
+                      jnp.asarray(data["view_matrices"]), anchor_frame_idxs=[0])
+    defaults = dict(epochs=4, batch_size=2, num_rays_sampled_per_img=64,
+                    sem_epoch_start=1, inst_epoch_start=1, valid_every=1000,
+                    prune_every=-1, voxel_raymarch_epoch_start=1000,
+                    optimize_val_extrinsics=False, inst_outlier_rejection=False,
+                    render_batch=256)
+    defaults.update(cfg_kw)
+    cfg = TrainerConfig(**defaults)
+    opt = OptimizerConfig(lr=5e-3, grid_lr_weight=20, delta_grid_lr_weight=20)
+    return PanopticTrainer(pipe, ds, cfg, opt, occ_level=3), ds
+
+
+def test_rgb_only_loss_decreases():
+    trainer, ds = make_trainer(sem_epoch_start=1000, inst_epoch_start=1000)
+    stage = trainer.stage_for_epoch(0)
+    assert stage.channels == frozenset({"rgb"})
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(12):
+        batch = trainer.dataset.sample_batch(rng, 2, 64)
+        out = trainer.train_step(stage, batch)
+        losses.append(float(out["rgb_loss"]))
+    assert losses[-1] < losses[0], f"rgb loss did not decrease: {losses}"
+
+
+def test_full_panoptic_step_runs_and_stays_finite():
+    trainer, ds = make_trainer()
+    stage = trainer.stage_for_epoch(2)
+    assert stage.use_sem and stage.use_inst
+    rng = np.random.default_rng(1)
+    for _ in range(2):
+        batch = trainer.dataset.sample_batch(rng, 2, 64)
+        out = trainer.train_step(stage, batch)
+    for k, v in out.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # extrinsics moved (pose optimization active from epoch 0)
+    assert float(jnp.abs(trainer.params["extrinsics"]
+                         - trainer.pipeline._init_extrinsics).sum()) > 0.0
+
+
+def test_val_pose_stage_freezes_nef():
+    trainer, ds = make_trainer(optimize_val_extrinsics=True,
+                               val_extrinsics_start=0, val_extrinsics_every=1)
+    stage = trainer.stage_for_epoch(2)
+    assert stage.training_val_poses
+    before = jax.tree_leaves_sum = None
+    import jax as _jax
+    nef_before = _jax.tree.map(lambda x: x.copy(), trainer.params["nef"])
+    ext_before = trainer.params["extrinsics"].copy()
+    rng = np.random.default_rng(2)
+    batch = trainer.dataset.sample_batch(rng, 2, 64, split="val")
+    trainer.train_step(stage, batch)
+    # nef params bit-identical; extrinsics of sampled val cameras moved
+    diffs = _jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                          nef_before, trainer.params["nef"])
+    assert sum(_jax.tree.leaves(diffs)) == 0.0
+    assert float(jnp.abs(ext_before - trainer.params["extrinsics"]).sum()) > 0.0
+
+
+def test_prune_shrinks_occupancy():
+    trainer, ds = make_trainer()
+    rng = np.random.default_rng(3)
+    stage = trainer.stage_for_epoch(0)
+    batch = trainer.dataset.sample_batch(rng, 2, 64)
+    trainer.train_step(stage, batch)
+    full = int(trainer.occ.mask.sum())
+    trainer.prune()
+    after = int(trainer.occ.mask.sum())
+    assert after < full  # untrained density ~1 < threshold -> almost all pruned
+
+
+def test_batch_render_full_image():
+    trainer, ds = make_trainer()
+    imgs = ds.get_images("val", mip=0)
+    from pagnerf_tpu.core.rays import Rays
+    rays = Rays(origins=jnp.asarray(imgs["base_rays_origins"]),
+                dirs=jnp.asarray(imgs["base_rays_dirs"]),
+                dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+    rb = trainer.batch_render(rays, {"rgb", "depth"}, cam_idx=int(imgs["cam_idx"][0]))
+    h, w = imgs["imgs"].shape[1:3]
+    assert rb.rgb.shape == (h * w, 3)
+    assert np.isfinite(np.asarray(rb.rgb)).all()
+
+
+import jax  # noqa: E402
