@@ -19,6 +19,9 @@ REFERENCE_RAYS_PER_SEC = 370_000.0  # estimated CUDA reference throughput (see a
 
 
 def main():
+    import os
+    import sys
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,7 +34,12 @@ def main():
     from pagnerf_tpu.train.optimizer import OptimizerConfig
     from pagnerf_tpu.train.trainer import PanopticTrainer, TrainerConfig
 
-    batch_size, rays_per_img, num_steps = 6, 4096, 512
+    def note(msg):
+        print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 6))
+    rays_per_img = int(os.environ.get("BENCH_RAYS", 4096))
+    num_steps = int(os.environ.get("BENCH_STEPS", 512))
     data = make_dataset(num_views=12, width=96, height=72, num_spheres=4)
     ds = MultiviewDataset(data)
     si = ds.semantic_info
@@ -52,12 +60,15 @@ def main():
     stage = trainer.stage_for_epoch(0)
     rng = np.random.default_rng(0)
     batch = ds.sample_batch(rng, batch_size, rays_per_img)
+    note(f"setup done: {batch_size}x{rays_per_img} rays x {num_steps} steps")
 
     # warmup / compile
+    t0 = time.perf_counter()
     losses = trainer.train_step(stage, batch)
     jax.block_until_ready(trainer.params)
+    note(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    iters = 20
+    iters = int(os.environ.get("BENCH_ITERS", 10))
     t0 = time.perf_counter()
     for _ in range(iters):
         losses = trainer.train_step(stage, batch)

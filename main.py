@@ -19,17 +19,23 @@ def main(argv=None):
     from pagnerf_tpu.train import checkpoint
     from pagnerf_tpu.train.validation import validate
 
-    args = parse_options(argv)
-    logging.basicConfig(level=args.log_level,
-                        format="%(asctime)s|%(levelname)8s| %(message)s")
-    log = logging.getLogger(__name__)
+    from pagnerf_tpu.utils.logging_utils import SummaryWriter, default_log_setup
 
-    pipeline, dataset, trainer = get_modules_from_config(args)
+    args = parse_options(argv)
 
     # per-run log dir + config snapshot (main_interactive.py:96-101)
     stamp = time.strftime("%Y%m%d-%H%M%S")
     log_dir = os.path.join(args.log_dir, args.exp_name or "run", stamp)
-    os.makedirs(log_dir, exist_ok=True)
+    default_log_setup(args.log_level, log_dir)
+    log = logging.getLogger(__name__)
+
+    if args.detect_anomaly:
+        # reference --detect-anomaly -> torch anomaly mode (main_interactive.py:30-32)
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
+    pipeline, dataset, trainer = get_modules_from_config(args)
+    writer = SummaryWriter(log_dir)
     with open(os.path.join(log_dir, "config.yaml"), "w") as f:
         f.write(config_to_yaml(build_parser(), args))
 
@@ -58,9 +64,13 @@ def main(argv=None):
         msg = f"EPOCH {epoch}/{args.epochs} | " + " | ".join(
             f"{k}: {v:.3E}" for k, v in totals.items())
         log.info(msg)
+        for k, v in totals.items():
+            writer.add_scalar(f"Loss/{k}", v, epoch)
         if args.valid_every > 0 and (epoch + 1) % args.valid_every == 0:
             metrics = validate(trainer, epoch, log_dir=log_dir)
             log.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
+            for k, v in metrics.items():
+                writer.add_scalar(k, v, epoch)
         if args.save_every > 0 and (epoch + 1) % args.save_every == 0:
             checkpoint.save_checkpoint(os.path.join(log_dir, "model.ckpt"),
                                        trainer, save_as_new=args.save_as_new)

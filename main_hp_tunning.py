@@ -1,0 +1,115 @@
+"""Hyper-parameter sweep driver with successive-halving early stopping.
+
+Equivalent of /root/reference/main_hp_tunning.py (Ray Tune ASHA grid search over
+lr / loss weights / layer sizes, reference lines 74-88, with trial checkpointing and
+early stopping, lines 189-243) — rebuilt without Ray: a process-local sweep that
+trains each trial in rungs and halves the population by the monitored metric after
+every rung (ASHA's synchronous variant). One TPU chip trains one trial at a time;
+on a multi-host pod each host can take a shard of the trial list.
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, List
+
+log = logging.getLogger(__name__)
+
+# Default search space — mirrors the reference's tune config (main_hp_tunning.py:74-88)
+DEFAULT_SPACE = {
+    "lr": [1e-3, 5e-3],
+    "grid_lr_weight": [10.0, 100.0],
+    "sem_weight": [0.1, 1.0],
+    "inst_weight": [100.0, 1000.0],
+    "hidden_dim": [32, 64],
+}
+
+
+def grid_points(space: Dict[str, List]) -> List[Dict]:
+    keys = sorted(space.keys())
+    return [dict(zip(keys, vals)) for vals in itertools.product(*(space[k] for k in keys))]
+
+
+def run_trial(base_args: List[str], overrides: Dict, epochs: int, out_dir: str,
+              trial_id: str, resume_from=None) -> Dict:
+    """Train one trial for ``epochs`` epochs; returns final metrics. Uses the
+    in-process trainer so checkpoints can be chained between rungs (reference
+    restores Ray checkpoints, main_hp_tunning.py:192-198)."""
+    from pagnerf_tpu.config.config import parse_options
+    from pagnerf_tpu.config.factory import get_modules_from_config
+    from pagnerf_tpu.train import checkpoint
+    from pagnerf_tpu.train.validation import validate
+
+    argv = list(base_args)
+    for k, v in overrides.items():
+        argv += [f"--{k.replace('_', '-')}", str(v)]
+    argv += ["--epochs", str(epochs)]
+    args = parse_options(argv)
+    _, _, trainer = get_modules_from_config(args)
+    if resume_from and os.path.exists(resume_from):
+        checkpoint.load_checkpoint(resume_from, trainer, "full")
+    trainer.train()
+    metrics = validate(trainer, trainer.epoch)
+    ckpt = os.path.join(out_dir, f"{trial_id}.ckpt")
+    checkpoint.save_checkpoint(ckpt, trainer)
+    metrics["_ckpt"] = ckpt
+    return metrics
+
+
+def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
+               metric: str = "val/psnr", mode: str = "max",
+               rung_epochs: int = 2, num_rungs: int = 3,
+               reduction_factor: int = 2) -> List[Dict]:
+    os.makedirs(out_dir, exist_ok=True)
+    trials = [{"id": f"trial_{i:03d}", "config": cfg, "ckpt": None}
+              for i, cfg in enumerate(grid_points(space))]
+    results = []
+    for rung in range(num_rungs):
+        log.info("rung %d: %d trials x %d epochs", rung, len(trials), rung_epochs)
+        scored = []
+        for t in trials:
+            t0 = time.time()
+            m = run_trial(base_args, t["config"], rung_epochs, out_dir, t["id"],
+                          resume_from=t["ckpt"])
+            t["ckpt"] = m.pop("_ckpt")
+            score = m.get(metric, 0.0)
+            scored.append((score, t, m))
+            results.append({"trial": t["id"], "rung": rung, "config": t["config"],
+                            "metric": score, "metrics": m,
+                            "wall": time.time() - t0})
+            log.info("%s rung %d: %s=%.4f (%.1fs)", t["id"], rung, metric, score,
+                     time.time() - t0)
+        scored.sort(key=lambda x: x[0], reverse=(mode == "max"))
+        keep = max(1, len(scored) // reduction_factor)
+        trials = [t for _, t, _ in scored[:keep]]
+        with open(os.path.join(out_dir, "sweep_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    log.info("best trial: %s %s", trials[0]["id"], trials[0]["config"])
+    return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--out-dir", default="_results/hp_sweep")
+    parser.add_argument("--metric", default="val/psnr")
+    parser.add_argument("--mode", default="max", choices=["max", "min"])
+    parser.add_argument("--rung-epochs", type=int, default=2)
+    parser.add_argument("--num-rungs", type=int, default=3)
+    parser.add_argument("--space", type=str, default=None,
+                        help="JSON dict overriding the default search space")
+    ns = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    space = json.loads(ns.space) if ns.space else DEFAULT_SPACE
+    base = ["--config", ns.config, "--log-dir", ns.out_dir, "--valid-every", "-1"]
+    return asha_sweep(base, space, ns.out_dir, ns.metric, ns.mode,
+                      ns.rung_epochs, ns.num_rungs)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -165,6 +165,11 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         render_batch=args.render_batch or 8000,
         val_mip=args.val_mip or 0,
         inst_num_dilations=max(args.inst_num_dilations, 0),
+        num_val_frames_to_save=max(args.num_val_frames_to_save, 1),
+        render_val_labels=args.render_val_labels,
+        save_preds=args.save_preds,
+        num_clustering_samples=args.num_clustering_samples or 20000,
+        low_res_val=args.low_res_val,
     )
     opt_cfg = OptimizerConfig(
         optimizer_type=args.optimizer_type, lr=args.lr,

@@ -288,12 +288,105 @@ class SequenceDataset:
 
 class InferenceDataset(SequenceDataset):
     """Sliding-window variant over whole sequences
-    (reference agrobot_base.py:559-682): windows advance by ``seq_num_frames``
-    regardless of labels."""
+    (reference agrobot_base.py:559-682): indexes advance window-by-window through
+    every sequence regardless of labels, with ``num_rm_frames`` trimmed from each
+    window edge; all frames get empty labels (predictions only)."""
 
-    def __init__(self, *args, num_rm_frames: int = 10, **kwargs):
-        super().__init__(*args, **kwargs)
+    def __init__(self, dataset_file, subset, class_labels, depth_rel_path,
+                 odometry_rel_file_path, frame_window_size,
+                 mask_robot_path=None, preds_rel_path=None, max_depth: float = -1,
+                 num_rm_frames: int = 10):
+        import math
+        super().__init__(dataset_file, subset, class_labels, depth_rel_path,
+                         odometry_rel_file_path, frame_window_size,
+                         mask_robot_path, preds_rel_path, max_depth)
+        # inference covers every image set (agrobot_base.py:597-598)
+        self.img_set_ids = (list(self.image_sets.get("train", []))
+                            + list(self.image_sets.get("valid", []))
+                            + list(self.image_sets.get("eval", [])))
+        metadata = self.coco.loadImgs(self.img_set_ids)
+        seq_rel = sorted({Path(self.dataset_rel_path(m["path"])).parent
+                          for m in metadata})
+        self.seq_paths = [self._root_dir / p for p in seq_rel]
+        ext = Path(metadata[0]["path"]).suffix if metadata else ".png"
+        self.img_paths = [sorted(sp.glob(f"*{ext}")) for sp in self.seq_paths]
+        self.seq_length = min((len(l) for l in self.img_paths), default=0)
+        self.img_paths = [l[:self.seq_length] for l in self.img_paths]
+
         self.num_rm_frames = num_rm_frames
+        win = frame_window_size if frame_window_size % 2 == 0 else frame_window_size - 1
+        self.win_bound = win
+        self.win_len = win * 2 + 3 - num_rm_frames * 2
+        self.train_frames_idxs = list(range(-win - 1, win + 2, 2))
+        self.val_frames_idxs = list(range(-win - 1 + num_rm_frames,
+                                          win + 2 - num_rm_frames))
+        self._math = math
+
+    def __len__(self):
+        if self.seq_length == 0:
+            return 0
+        win_per_seq = self._math.ceil(
+            (self.seq_length - self.num_rm_frames * 2) / self.win_len)
+        return win_per_seq * len(self.seq_paths)
+
+    def center_path_for_index(self, idx: int) -> Path:
+        """Window index -> centre image path (agrobot_base.py:663-674)."""
+        win_per_seq = self._math.ceil(
+            (self.seq_length - self.num_rm_frames * 2) / self.win_len)
+        seq_idx = idx // win_per_seq
+        img_idx = (self.win_bound + 2 + (idx * self.win_len)) % self.seq_length
+        return self.img_paths[seq_idx][img_idx]
+
+    def __getitem__(self, index: int):
+        # window around the sliding centre; never load GT labels (every frame gets
+        # empty labels via the predictions path, agrobot_base.py:681-682)
+        center = self.center_path_for_index(index)
+        saved = self.img_path_to_ids
+        self.img_path_to_ids = {}
+        try:
+            # reuse the base window loader with this centre path
+            parent = center.parent
+            seq = [p for p in sorted(parent.iterdir()) if p.suffix == center.suffix]
+            return self._window_from_center(center, seq)
+        finally:
+            self.img_path_to_ids = saved
+
+    def _window_from_center(self, img_path: Path, seq):
+        # mirror of SequenceDataset.__getitem__ with an arbitrary centre path
+        used = self.train_frames_idxs if self.subset == "train" \
+            else self.val_frames_idxs
+        parent = img_path.parent
+        seq_idx = seq.index(img_path)
+        odom_path = parent / self.odom_file_path
+        odom_from_ts = csv_odom_to_transforms(str(odom_path)) \
+            if odom_path.suffix == ".csv" else {}
+        with open(parent / "params.yaml") as yml:
+            cam_params = {k: np.asarray(v, np.float32)
+                          for k, v in yaml.safe_load(yml).items()}
+        ext = cam_params["extrinsics"]
+        ext_i = np.linalg.inv(ext)
+        deltas = list(reversed(sorted(used)))
+        idxs = [min(len(seq) - 1, max(0, int(seq_idx - d))) for d in deltas]
+        center_odom = odom_from_ts[img_path.name.split(".")[0]]
+        data = []
+        for path in (seq[i] for i in idxs):
+            rgb = self._load_rgb(path)
+            sem_pred, imap_pred, sem_conf, inst_conf = self.load_preds(path)
+            depth = self._load_depth(path.parent / self.depth_rel_path / path.name)
+            ts = path.name.split(".")[0]
+            robot_odom = odom_from_ts[ts]
+            frame_odom = ext_i @ np.linalg.inv(robot_odom) @ center_odom @ ext
+            empty = np.full(rgb.shape[:2], -1, np.int32)
+            data.append({
+                "rgb": rgb, "depth": depth, "semantics": empty, "imap": empty,
+                "semantics_pred": sem_pred, "imap_pred": imap_pred,
+                "sem_conf": sem_conf, "inst_conf": inst_conf,
+                "odom": frame_odom.astype(np.float32), "odom_ts": ts,
+                "intrinsics": cam_params["intrinsics"],
+                "extrinsics": cam_params["extrinsics"],
+                "file_names": path.name,
+            })
+        return data
 
 
 class BUP20SequenceDataset(SequenceDataset):

@@ -63,16 +63,20 @@ class MultiviewDataset:
         """Random images x random rays per image (SampleRays single-image mode,
         ray_sampler.py:20-25). Returns numpy batch with 'cam_idx' of absolute frame
         indices (for extrinsics lookup)."""
+        from . import native
         idxs = self.train_idxs if split == "train" else self.val_idxs
         img_idx = rng.choice(idxs, size=min(batch_size, len(idxs)), replace=False)
-        ray_idx = np.stack([rng.choice(self.num_pixels, size=num_rays, replace=False)
-                            for _ in img_idx])                    # [B, R]
+        # native (C++) distinct-pixel sampling + batched gathers when built
+        ray_idx = native.sample_ray_indices(len(img_idx), num_rays,
+                                            self.num_pixels,
+                                            int(rng.integers(2 ** 62)))
         batch = {"cam_idx": img_idx.astype(np.int32)}
-        take = np.arange(len(img_idx))[:, None]
         for mode in PIXEL_MODES:
             if mode in self.data:
-                flat = self._flat(mode, img_idx)
-                batch[mode] = flat[take, ray_idx]
+                arr = self.data[mode]
+                flat = arr.reshape(arr.shape[0], self.num_pixels, *arr.shape[3:])
+                batch[mode] = native.gather_pixels(flat, img_idx.astype(np.int64),
+                                                   ray_idx)
         # camera-space base rays, identical for every image (bup20.py:251-287)
         bo = self.data["base_rays_origins"].reshape(self.num_pixels, 3)
         bd = self.data["base_rays_dirs"].reshape(self.num_pixels, 3)

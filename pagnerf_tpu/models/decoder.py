@@ -1,10 +1,15 @@
-"""Shallow MLP decoder.
+"""Shallow MLP decoder (feature-major).
 
 Equivalent of wisp ``BasicDecoder`` as configured by the reference NeFs
 (/root/reference/pc_nerf/panoptic_nef.py:108-164): ``num_layers`` hidden layers with a
-configurable activation, followed by a linear output layer (``lout``). Hidden widths of
-64 keep every matmul MXU-friendly once sample batches are large; computation runs in
-``compute_dtype`` (bfloat16 on TPU mirrors the reference's AMP autocast,
+configurable activation, followed by a linear output layer (``lout``).
+
+TPU layout: activations are feature-major [C, N] — the huge sample axis stays on the
+128-lane minor dim, so a [N, 16] activation never becomes a lane-padded [N, 128]
+monster (see ops/permuto_encoding.py for the tiling rationale). ``DenseT`` keeps
+nn.Dense-compatible parameter names/shapes (kernel [Cin, Cout], bias [Cout]) so
+checkpoints are interchangeable; the matmul is kernel^T @ x on the MXU. Computation
+runs in ``compute_dtype`` (bfloat16 on TPU mirrors the reference's AMP autocast,
 pc_nerf/trainer.py:429).
 """
 from __future__ import annotations
@@ -12,6 +17,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -28,8 +34,33 @@ def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return acts[name]
 
 
+class DenseT(nn.Module):
+    """Feature-major linear layer: x [Cin, N] -> [Cout, N].
+
+    Parameter layout matches nn.Dense (kernel [Cin, Cout], bias [Cout]).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[0]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (cin, self.features))
+        y = jax.lax.dot_general(kernel.astype(self.dtype), x.astype(self.dtype),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=self.dtype)  # [Cout, N]
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(self.dtype)[:, None]
+        return y
+
+
 class BasicDecoder(nn.Module):
-    """num_layers hidden layers + linear output head.
+    """num_layers hidden layers + linear output head, on [Cin, N] activations.
 
     output_bias_init: optional per-unit bias initialisation for the output layer —
     the reference sets ``decoder_density.lout.bias.data[0] = 1.0``
@@ -51,8 +82,9 @@ class BasicDecoder(nn.Module):
         h = x
         for i in range(self.num_layers):
             if i in tuple(self.skip):
-                h = jnp.concatenate([h, x], axis=-1)
-            h = nn.Dense(self.hidden_dim, name=f"hidden_{i}", dtype=self.compute_dtype)(h)
+                h = jnp.concatenate([h, x], axis=0)
+            h = DenseT(self.hidden_dim, name=f"hidden_{i}",
+                       dtype=self.compute_dtype)(h)
             h = act(h)
 
         def bias_init(key, shape, dtype=jnp.float32):
@@ -62,6 +94,6 @@ class BasicDecoder(nn.Module):
                     b = b.at[i].set(v)
             return b
 
-        out = nn.Dense(self.output_dim, name="lout", bias_init=bias_init,
-                       dtype=self.compute_dtype)(h)
+        out = DenseT(self.output_dim, name="lout", bias_init=bias_init,
+                     dtype=self.compute_dtype)(h)
         return out.astype(jnp.float32)

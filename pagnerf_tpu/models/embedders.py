@@ -28,3 +28,20 @@ def positional_embed(x: jnp.ndarray, multires: int,
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)
     return enc
+
+
+def positional_embed_T(xT: jnp.ndarray, multires: int,
+                       include_input: bool = True,
+                       active: bool = True) -> jnp.ndarray:
+    """Feature-major variant: [D, N] -> [D * (2*multires + include_input), N]
+    (sample axis stays on lanes — see ops/permuto_encoding.py layout note)."""
+    if not active:
+        return xT
+    freqs = 2.0 ** jnp.arange(multires, dtype=xT.dtype)          # [M]
+    xf = xT[None, :, :] * freqs[:, None, None]                   # [M, D, N]
+    d, n = xT.shape
+    enc = jnp.concatenate([jnp.sin(xf), jnp.cos(xf)], axis=1)    # [M, 2D, N]
+    enc = enc.reshape(multires * 2 * d, n)
+    if include_input:
+        enc = jnp.concatenate([xT, enc], axis=0)
+    return enc

@@ -9,10 +9,12 @@ wisp-stock grids referenced at pc_nerf/panoptic_nef.py:165-182):
   * ``TriplanarGrid``— three axis-aligned feature planes, bilinear lookup
   * ``TensoRFGrid``  — VM decomposition (grids/tensorf.py), see tensorf.py module
 
-Each grid returns multiscale-'cat' features [N, num_lods * feature_dim]; LoD weighting
-and 'sum' consolidation happen in the NeF exactly as in the reference
-(panoptic_nef.py:299-302). Occupancy acceleration lives outside the module (it is
-state, not parameters) — see ops/occupancy.py.
+Layout convention (TPU): grids take ``coordsT`` of shape [3, N] and return
+feature-major multiscale-'cat' features [num_lods * feature_dim, N] — the sample axis
+stays on the 128-lane minor dimension so nothing sample-scale gets lane-padded (see
+ops/permuto_encoding.py). LoD weighting and 'sum' consolidation happen in the NeF
+exactly as in the reference (panoptic_nef.py:299-302). Occupancy acceleration lives
+outside the module (it is state, not parameters) — see ops/occupancy.py.
 """
 from __future__ import annotations
 
@@ -39,12 +41,12 @@ class PermutoGrid(nn.Module):
         return self.num_lods * self.feature_dim
 
     @nn.compact
-    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, coordsT: jnp.ndarray) -> jnp.ndarray:
         spec = PermutoEncodingSpec(self.num_lods, self.feature_dim,
                                    self.capacity_log2, self.coarsest_scale,
                                    self.finest_scale)
         tables = self.param("tables", lambda k: spec.init(k))
-        return spec.encode(tables, coords, compute_dtype=self.compute_dtype)
+        return spec.encode_T(tables, coordsT, compute_dtype=self.compute_dtype)
 
 
 class HashGrid(nn.Module):
@@ -63,12 +65,12 @@ class HashGrid(nn.Module):
         return self.num_lods * self.feature_dim
 
     @nn.compact
-    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, coordsT: jnp.ndarray) -> jnp.ndarray:
         spec = HashEncodingSpec(self.num_lods, self.feature_dim,
                                 self.log2_table_size, self.base_resolution,
                                 self.finest_resolution)
         tables = self.param("tables", lambda k: spec.init(k))
-        return spec.encode(tables, coords, compute_dtype=self.compute_dtype)
+        return spec.encode_T(tables, coordsT, compute_dtype=self.compute_dtype)
 
 
 class TriplanarGrid(nn.Module):
@@ -86,30 +88,33 @@ class TriplanarGrid(nn.Module):
         return self.num_lods * self.feature_dim
 
     @nn.compact
-    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, coordsT: jnp.ndarray) -> jnp.ndarray:
         outs = []
         for lod in range(self.num_lods):
             res = 1 << (self.base_lod + lod)
+            # planes stored feature-major [3, F, R*R] so lookups are lane-friendly
             planes = self.param(
                 f"planes_{lod}",
                 lambda k, r=res: nn.initializers.uniform(scale=1e-4)(
-                    k, (3, r, r, self.feature_dim)),
+                    k, (3, self.feature_dim, r * r)),
             )
             feats = 0.0
             # plane p spans the two axes != p
             for p, (a, b) in enumerate(((1, 2), (0, 2), (0, 1))):
-                uv = (coords[:, (a, b)] + 1.0) * 0.5 * (res - 1)
-                u0 = jnp.clip(jnp.floor(uv).astype(jnp.int32), 0, res - 2)
-                f = uv - u0
-                p00 = planes[p, u0[:, 0], u0[:, 1]]
-                p01 = planes[p, u0[:, 0], u0[:, 1] + 1]
-                p10 = planes[p, u0[:, 0] + 1, u0[:, 1]]
-                p11 = planes[p, u0[:, 0] + 1, u0[:, 1] + 1]
-                fx, fy = f[:, 0:1], f[:, 1:2]
-                feats = feats + (p00 * (1 - fx) * (1 - fy) + p10 * fx * (1 - fy)
-                                 + p01 * (1 - fx) * fy + p11 * fx * fy)
-            outs.append(feats.astype(self.compute_dtype))
-        return jnp.concatenate(outs, axis=-1)
+                u = (coordsT[a] + 1.0) * 0.5 * (res - 1)         # [N]
+                v = (coordsT[b] + 1.0) * 0.5 * (res - 1)
+                u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, res - 2)
+                v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, res - 2)
+                fu, fv = u - u0, v - v0                          # [N]
+                def tap(du, dv):
+                    return jnp.take(planes[p], (u0 + du) * res + (v0 + dv),
+                                    axis=1)                      # [F, N]
+                feats = feats + (tap(0, 0) * (1 - fu) * (1 - fv)
+                                 + tap(1, 0) * fu * (1 - fv)
+                                 + tap(0, 1) * (1 - fu) * fv
+                                 + tap(1, 1) * fu * fv)
+            outs.append(feats.astype(self.compute_dtype))        # [F, N]
+        return jnp.concatenate(outs, axis=0)                      # [L*F, N]
 
 
 def build_grid(grid_type: str, **kwargs) -> nn.Module:

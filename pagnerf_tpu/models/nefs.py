@@ -20,8 +20,11 @@ Design notes (TPU-first):
         (panoptic_dd_nef.py:248-252).
   * ``lod_weights`` is a traced input (not a parameter): the LoD annealer updates it
     per step on the host without retracing (consumed as panoptic_nef.py:300).
-  * Inputs are flat: coords [N, 3], ray dirs [N, 3] (the dense tracer flattens
-    [rays, steps] itself). All head MLPs are batched matmuls on the MXU.
+  * TPU layout: all sample-scale tensors are FEATURE-MAJOR — coords enter as
+    ``coordsT`` [3, N], ray dirs as ``ray_dT`` [3, N], channels come out as
+    [C, N]. TPU tiles the minor dim to 128 lanes, so keeping the huge sample axis
+    minor avoids 8-42x lane-padding on every activation (see
+    ops/permuto_encoding.py). Head MLPs are kernel^T @ x matmuls on the MXU.
 """
 from __future__ import annotations
 
@@ -33,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .decoder import BasicDecoder
-from .embedders import positional_embed, positional_embed_dim
+from .embedders import positional_embed_T, positional_embed_dim
 from .grids import build_grid
 
 Channels = FrozenSet[str]
@@ -72,13 +75,14 @@ class GridConfig:
         return self.num_lods * self.feature_dim
 
 
-def _multiscale(feats: jnp.ndarray, num_lods: int, multiscale_type: str) -> jnp.ndarray:
+def _multiscale(featsT: jnp.ndarray, num_lods: int, multiscale_type: str) -> jnp.ndarray:
     """'cat' keeps concatenated level features; 'sum' folds levels
-    (panoptic_nef.py:301-302). Applied after LoD weighting, as in the reference."""
+    (panoptic_nef.py:301-302). Applied after LoD weighting, as in the reference.
+    featsT is [L*F, N]."""
     if multiscale_type == "sum":
-        n = feats.shape[0]
-        return feats.reshape(n, num_lods, -1).sum(axis=1)
-    return feats
+        n = featsT.shape[1]
+        return featsT.reshape(num_lods, -1, n).sum(axis=0)
+    return featsT
 
 
 class PanopticNeF(nn.Module):
@@ -161,69 +165,69 @@ class PanopticNeF(nn.Module):
          self.decoder_semantics, self.decoder_inst) = self._make_decoders()
 
     # --------------------------------------------------------------- helpers
-    def _grid_feats(self, grid_module, coords: jnp.ndarray,
+    def _grid_feats(self, grid_module, coordsT: jnp.ndarray,
                     lod_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
-        feats = grid_module(coords)
+        featsT = grid_module(coordsT)                              # [L*F, N]
         if lod_weights is not None:
-            feats = feats * lod_weights.astype(feats.dtype)
-        return _multiscale(feats, self.grid.num_lods, self.multiscale_type)
+            featsT = featsT * lod_weights.astype(featsT.dtype)[:, None]
+        return _multiscale(featsT, self.grid.num_lods, self.multiscale_type)
 
-    def _density(self, feats: jnp.ndarray):
-        density_feats = self.decoder_density(feats)
-        density = jax.nn.relu(density_feats[..., 0:1])
+    def _density(self, featsT: jnp.ndarray):
+        density_feats = self.decoder_density(featsT)               # [16, N]
+        density = jax.nn.relu(density_feats[0:1, :])               # [1, N]
         return density_feats, density
 
-    def _rgb(self, density_feats: jnp.ndarray, ray_d: jnp.ndarray) -> jnp.ndarray:
-        vdir = positional_embed(-ray_d, self.view_multires, True,
-                                self.embedder_type == "positional")
-        fdir = jnp.concatenate([density_feats, vdir], axis=-1)
-        return jax.nn.sigmoid(self.decoder_color(fdir))
+    def _rgb(self, density_featsT: jnp.ndarray, ray_dT: jnp.ndarray) -> jnp.ndarray:
+        vdir = positional_embed_T(-ray_dT, self.view_multires, True,
+                                  self.embedder_type == "positional")
+        fdir = jnp.concatenate([density_featsT, vdir], axis=0)
+        return jax.nn.sigmoid(self.decoder_color(fdir))            # [3, N]
 
-    def _semantics(self, sem_input: jnp.ndarray) -> jnp.ndarray:
-        s = self.decoder_semantics(sem_input)
+    def _semantics(self, sem_inputT: jnp.ndarray) -> jnp.ndarray:
+        s = self.decoder_semantics(sem_inputT)                     # [C, N]
         if self.sem_sigmoid:
             s = jax.nn.sigmoid(s)
         if self.sem_normalize:
-            s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+            s = s / (jnp.linalg.norm(s, axis=0, keepdims=True) + 1e-12)
         if self.sem_softmax:
-            s = jax.nn.softmax(s, axis=-1)
+            s = jax.nn.softmax(s, axis=0)
         return s
 
-    def _inst(self, inst_input: jnp.ndarray) -> jnp.ndarray:
-        e = self.decoder_inst(inst_input)
+    def _inst(self, inst_inputT: jnp.ndarray) -> jnp.ndarray:
+        e = self.decoder_inst(inst_inputT)                         # [M, N]
         if self.inst_sigmoid:
             e = jax.nn.sigmoid(e)
         if self.inst_normalize:
-            e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+            e = e / (jnp.linalg.norm(e, axis=0, keepdims=True) + 1e-12)
         if self.inst_soft_temperature > 0.0:
             e = e / self.inst_soft_temperature
         if self.inst_softmax:
-            e = jax.nn.softmax(e, axis=-1)
+            e = jax.nn.softmax(e, axis=0)
         return e
 
     # --------------------------------------------------------------- forward
-    def __call__(self, coords: jnp.ndarray, ray_d: Optional[jnp.ndarray],
+    def __call__(self, coordsT: jnp.ndarray, ray_dT: Optional[jnp.ndarray],
                  channels: Channels,
                  lod_weights: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
-        """coords [N, 3], ray_d [N, 3] -> dict of requested channels
+        """coordsT [3, N], ray_dT [3, N] -> dict of requested channels, each [C, N]
         (reference rgb_semantics, panoptic_nef.py:253-363)."""
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
-        feats = self._grid_feats(self.grid_module, coords, lod_weights)
+        feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
 
         if channels & {"density", "rgb", "semantics", "inst_embedding"}:
             density_feats, density = self._density(feats)
             if "density" in channels:
                 out["density"] = density
         if "rgb" in channels:
-            out["rgb"] = self._rgb(density_feats, ray_d)
+            out["rgb"] = self._rgb(density_feats, ray_dT)
         if "semantics" in channels:
             sem_input = jax.lax.stop_gradient(feats) if self.sem_detach else feats
             out["semantics"] = self._semantics(sem_input)
         if "inst_embedding" in channels:
             if self.inst_direct_pos:
-                inst_input = coords
+                inst_input = coordsT
             else:
                 inst_input = jax.lax.stop_gradient(feats) if self.inst_detach else feats
             out["inst_embedding"] = self._inst(inst_input)
@@ -248,10 +252,10 @@ class PanopticDeltaNeF(PanopticNeF):
             cfg = self.delta_grid or self.grid
             self.delta_grid_module = cfg.build("delta_grid")
 
-    def _panoptic_feats(self, coords, feats, lod_weights):
-        """Grid additive fusion (panoptic_delta_nef.py:211-236)."""
+    def _panoptic_feats(self, coordsT, feats, lod_weights):
+        """Grid additive fusion (panoptic_delta_nef.py:211-236). All [C, N]."""
         feats_detached = jax.lax.stop_gradient(feats)
-        coords_detached = jax.lax.stop_gradient(coords)
+        coords_detached = jax.lax.stop_gradient(coordsT)
         pft = self.panoptic_features_type
         if pft in ("delta", "separate", None):
             delta_feats = self._grid_feats(self.delta_grid_module, coords_detached,
@@ -263,25 +267,25 @@ class PanopticDeltaNeF(PanopticNeF):
         if pft == "appearance":
             return feats_detached
         if pft == "pos_encoding":
-            return positional_embed(coords, self.pos_multires, True, True)
+            return positional_embed_T(coordsT, self.pos_multires, True, True)
         if pft == "position":
-            return coords
+            return coordsT
         raise ValueError(f'panoptic feature type "{pft}" not implemented')
 
-    def __call__(self, coords, ray_d, channels, lod_weights=None):
+    def __call__(self, coordsT, ray_dT, channels, lod_weights=None):
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
-        feats = self._grid_feats(self.grid_module, coords, lod_weights)
+        feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
 
         if channels & {"density", "rgb", "semantics", "inst_embedding"}:
             density_feats, density = self._density(feats)
             if "density" in channels:
                 out["density"] = density
         if "rgb" in channels:
-            out["rgb"] = self._rgb(density_feats, ray_d)
+            out["rgb"] = self._rgb(density_feats, ray_dT)
         if channels & {"semantics", "inst_embedding"}:
-            panop_feats = self._panoptic_feats(coords, feats, lod_weights)
+            panop_feats = self._panoptic_feats(coordsT, feats, lod_weights)
             if "semantics" in channels:
                 out["semantics"] = self._semantics(panop_feats)
             if "inst_embedding" in channels:
@@ -307,11 +311,11 @@ class PanopticDDensityNeF(PanopticDeltaNeF):
             activation="none", compute_dtype=self.compute_dtype,
             name="decoder_delta_density")
 
-    def __call__(self, coords, ray_d, channels, lod_weights=None):
+    def __call__(self, coordsT, ray_dT, channels, lod_weights=None):
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
-        feats = self._grid_feats(self.grid_module, coords, lod_weights)
+        feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
 
         need_density = bool(channels & {"density", "rgb"}) or (
             "panoptic_density" in channels and not self.separate_sem_grid)
@@ -320,24 +324,24 @@ class PanopticDDensityNeF(PanopticDeltaNeF):
             if "density" in channels:
                 out["density"] = density
         if "rgb" in channels:
-            out["rgb"] = self._rgb(density_feats, ray_d)
+            out["rgb"] = self._rgb(density_feats, ray_dT)
 
         panop_needed = channels & {"delta_density", "panoptic_density", "semantics",
                                    "inst_embedding"}
         if panop_needed:
             feats_detached = jax.lax.stop_gradient(feats)
-            coords_detached = jax.lax.stop_gradient(coords)
+            coords_detached = jax.lax.stop_gradient(coordsT)
             delta_feats = self._grid_feats(self.delta_grid_module, coords_detached,
                                            lod_weights)
             panop_feats = delta_feats if self.separate_sem_grid else feats_detached + delta_feats
 
         if channels & {"delta_density", "panoptic_density"}:
-            delta_density = self.decoder_delta_density(panop_feats)
+            delta_density = self.decoder_delta_density(panop_feats)  # [1, N]
             if "delta_density" in channels:
                 out["delta_density"] = delta_density
         if "panoptic_density" in channels:
             # stop-grad of the RAW density logit (pre-relu), dd_nef.py:248-252
-            base = jax.lax.stop_gradient(density_feats[..., 0:1]) \
+            base = jax.lax.stop_gradient(density_feats[0:1, :]) \
                 if not self.separate_sem_grid else 0.0
             out["panoptic_density"] = jax.nn.relu(base + delta_density)
         if "semantics" in channels:

@@ -18,15 +18,16 @@ from .nefs import Channels, GridConfig
 from .tensorf import TensoRFGrid
 
 
-def _pe(x: jnp.ndarray, freqs: int) -> jnp.ndarray:
-    """MLPRenderFeature.positional_encoding (panoptic_lifting.py:295-300)."""
-    bands = 2.0 ** jnp.arange(freqs, dtype=x.dtype)
-    pts = (x[..., None] * bands).reshape(*x.shape[:-1], -1)
-    return jnp.concatenate([jnp.sin(pts), jnp.cos(pts)], axis=-1)
+def _pe_T(xT: jnp.ndarray, freqs: int) -> jnp.ndarray:
+    """Feature-major MLPRenderFeature.positional_encoding
+    (panoptic_lifting.py:295-300): [D, N] -> [2*freqs*D, N]."""
+    bands = 2.0 ** jnp.arange(freqs, dtype=xT.dtype)
+    pts = (xT[None] * bands[:, None, None]).reshape(-1, xT.shape[1])
+    return jnp.concatenate([jnp.sin(pts), jnp.cos(pts)], axis=0)
 
 
 class MLPRenderFeature(nn.Module):
-    """reference panoptic_lifting.py:265-293."""
+    """reference panoptic_lifting.py:265-293 (feature-major [C, N] activations)."""
 
     out_channels: int = 3
     pe_view: int = 2
@@ -34,19 +35,19 @@ class MLPRenderFeature(nn.Module):
     dim_mlp_color: int = 128
 
     @nn.compact
-    def __call__(self, viewdirs: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
-        indata = [features]
+    def __call__(self, viewdirsT: jnp.ndarray, featuresT: jnp.ndarray) -> jnp.ndarray:
+        from .decoder import DenseT
+        indata = [featuresT]
         if self.pe_view > 0 or self.pe_feat > 0:
-            indata.append(viewdirs)
+            indata.append(viewdirsT)
         if self.pe_feat > 0:
-            indata.append(_pe(features, self.pe_feat))
+            indata.append(_pe_T(featuresT, self.pe_feat))
         if self.pe_view > 0:
-            indata.append(_pe(viewdirs, self.pe_view))
-        h = jnp.concatenate(indata, axis=-1)
-        h = nn.relu(nn.Dense(self.dim_mlp_color)(h))
-        h = nn.relu(nn.Dense(self.dim_mlp_color)(h))
-        out = nn.Dense(self.out_channels,
-                       bias_init=nn.initializers.zeros)(h)
+            indata.append(_pe_T(viewdirsT, self.pe_view))
+        h = jnp.concatenate(indata, axis=0)
+        h = nn.relu(DenseT(self.dim_mlp_color)(h))
+        h = nn.relu(DenseT(self.dim_mlp_color)(h))
+        out = DenseT(self.out_channels)(h)
         return jax.nn.sigmoid(out)
 
 
@@ -77,36 +78,37 @@ class PanopticLiftingNeF(nn.Module):
             output_dim=self.num_instances, hidden_dim=self.hidden_dim, num_layers=2,
             activation="relu", name="decoder_inst")
 
-    def __call__(self, coords: jnp.ndarray, ray_d: Optional[jnp.ndarray],
+    def __call__(self, coordsT: jnp.ndarray, ray_dT: Optional[jnp.ndarray],
                  channels: Channels,
                  lod_weights=None) -> Dict[str, jnp.ndarray]:
+        """coordsT/ray_dT [3, N] -> {channel: [C, N]} (feature-major)."""
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
         if channels & {"density", "rgb"}:
-            density_feats, color_feats = self.grid_module(coords)
-            density = jax.nn.relu(density_feats)[..., None]
+            density_feats, color_feats = self.grid_module(coordsT)
+            density = jax.nn.relu(density_feats)[None, :]        # [1, N]
             if "density" in channels:
                 out["density"] = density
         if "rgb" in channels:
-            out["rgb"] = self.decoder_color(-ray_d, color_feats)
+            out["rgb"] = self.decoder_color(-ray_dT, color_feats)
         if "semantics" in channels:
-            s = self.decoder_semantics(coords)
+            s = self.decoder_semantics(coordsT)
             if self.sem_sigmoid:
                 s = jax.nn.sigmoid(s)
             if self.sem_normalize:
-                s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+                s = s / (jnp.linalg.norm(s, axis=0, keepdims=True) + 1e-12)
             if self.sem_softmax:
-                s = jax.nn.softmax(s, axis=-1)
+                s = jax.nn.softmax(s, axis=0)
             out["semantics"] = s
         if "inst_embedding" in channels:
-            e = self.decoder_inst(coords)
+            e = self.decoder_inst(coordsT)
             if self.inst_sigmoid:
                 e = jax.nn.sigmoid(e)
             if self.inst_normalize:
-                e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+                e = e / (jnp.linalg.norm(e, axis=0, keepdims=True) + 1e-12)
             if self.inst_softmax:
-                e = jax.nn.softmax(e, axis=-1)
+                e = jax.nn.softmax(e, axis=0)
             out["inst_embedding"] = e
         return out
 

@@ -29,21 +29,28 @@ class Pipeline:
         self.tracer_cfg = tracer_cfg
 
     def init(self, key: jax.Array, sample_count: int = 8) -> dict:
-        coords = jnp.zeros((sample_count, 3))
-        dirs = jnp.ones((sample_count, 3)) / jnp.sqrt(3.0)
-        nef_params = self.nef.init(key, coords, dirs, self.nef.supported_channels())
+        coordsT = jnp.zeros((3, sample_count))
+        dirsT = jnp.ones((3, sample_count)) / jnp.sqrt(3.0)
+        nef_params = self.nef.init(key, coordsT, dirsT,
+                                   self.nef.supported_channels())
         return {"nef": nef_params["params"]}
 
     def nef_fn(self, params: dict, lod_weights: Optional[jnp.ndarray] = None):
-        def fn(coords, ray_d, channels):
-            return self.nef.apply({"params": params["nef"]}, coords, ray_d,
+        """Feature-major NeF closure: (coordsT [3,N], ray_dT [3,N], channels) ->
+        {channel: [C, N]} (see models/nefs.py layout note)."""
+        def fn(coordsT, ray_dT, channels):
+            return self.nef.apply({"params": params["nef"]}, coordsT, ray_dT,
                                   frozenset(channels), lod_weights)
         return fn
 
     def query_nef(self, params: dict, coords, ray_d, channels,
                   lod_weights: Optional[jnp.ndarray] = None):
-        """Direct NeF query (used by prune and TV regularizers)."""
-        return self.nef_fn(params, lod_weights)(coords, ray_d, frozenset(channels))
+        """Direct sample-major NeF query (prune, TV regularizers, tests):
+        coords [N, 3] -> {channel: [N, C]}."""
+        ray_dT = ray_d.T if ray_d is not None else None
+        out = self.nef_fn(params, lod_weights)(coords.T, ray_dT,
+                                               frozenset(channels))
+        return {k: v.T for k, v in out.items()}
 
     def __call__(self, params: dict, rays: Rays, channels: FrozenSet[str],
                  occ: OccupancyGrid, lod_weights: Optional[jnp.ndarray] = None,

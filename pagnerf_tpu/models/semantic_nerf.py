@@ -14,8 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .decoder import BasicDecoder
-from .embedders import positional_embed
+from .decoder import BasicDecoder, DenseT
+from .embedders import positional_embed_T
 from .nefs import Channels, GridConfig
 
 
@@ -38,7 +38,7 @@ class SemanticNeF(nn.Module):
         self.decoder_features = BasicDecoder(
             output_dim=self.hidden_dim, hidden_dim=self.hidden_dim, num_layers=8,
             skip=(5,), activation=self.activation_type, name="decoder_features")
-        self.decoder_density = nn.Dense(
+        self.decoder_density = DenseT(
             1, bias_init=lambda k, s, d=jnp.float32: jnp.ones(s, d),
             name="decoder_density")
         self.decoder_color = BasicDecoder(
@@ -48,29 +48,31 @@ class SemanticNeF(nn.Module):
             output_dim=self.num_classes, hidden_dim=self.hidden_dim // 2,
             num_layers=1, activation=self.activation_type, name="decoder_semantics")
 
-    def __call__(self, coords: jnp.ndarray, ray_d: Optional[jnp.ndarray],
+    def __call__(self, coordsT: jnp.ndarray, ray_dT: Optional[jnp.ndarray],
                  channels: Channels,
                  lod_weights=None) -> Dict[str, jnp.ndarray]:
+        """coordsT/ray_dT [3, N] -> {channel: [C, N]} (feature-major, see
+        models/nefs.py layout note)."""
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
-        feats = self.decoder_features(positional_embed(coords, self.pos_multires))
+        feats = self.decoder_features(positional_embed_T(coordsT, self.pos_multires))
         if channels & {"density", "rgb", "semantics"}:
             density = jax.nn.relu(self.decoder_density(feats))
             if "density" in channels:
                 out["density"] = density
         if "rgb" in channels:
-            vdir = positional_embed(-ray_d, self.view_multires)
-            fdir = jnp.concatenate([feats, vdir], axis=-1)
+            vdir = positional_embed_T(-ray_dT, self.view_multires)
+            fdir = jnp.concatenate([feats, vdir], axis=0)
             out["rgb"] = jax.nn.sigmoid(self.decoder_color(fdir))
         if "semantics" in channels:
             s = self.decoder_semantics(feats)
             if self.sem_sigmoid:
                 s = jax.nn.sigmoid(s)
             if self.sem_normalize:
-                s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+                s = s / (jnp.linalg.norm(s, axis=0, keepdims=True) + 1e-12)
             if self.sem_softmax:
-                s = jax.nn.softmax(s, axis=-1)
+                s = jax.nn.softmax(s, axis=0)
             out["semantics"] = s
         return out
 

@@ -25,22 +25,26 @@ _MAT_MODE = ((0, 1), (0, 2), (1, 2))
 _VEC_MODE = (2, 1, 0)
 
 
-def _bilinear_plane(plane: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """plane [C, R, R], uv [N, 2] in [-1, 1] (align_corners=True) -> [C, N]."""
+def _bilinear_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """plane [C, R, R], u/v [N] in [-1, 1] (align_corners=True) -> [C, N].
+
+    Feature-major lookups: row gathers along a flattened [C, R*R] view keep the
+    sample axis on lanes (see ops/permuto_encoding.py layout note). The reference
+    uses grid_sample with (x, y) = (first coord -> width, second -> height), i.e.
+    plane indexed [C, y, x]."""
     r = plane.shape[-1]
-    g = (uv + 1.0) * 0.5 * (r - 1)
-    g0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, r - 2)
-    f = g - g0
-    fx, fy = f[:, 0], f[:, 1]
-    # reference uses grid_sample with (x, y) = (first coord -> width, second -> height):
-    # plane is indexed [C, y, x].
-    x0, y0 = g0[:, 0], g0[:, 1]
-    p00 = plane[:, y0, x0]
-    p01 = plane[:, y0, x0 + 1]
-    p10 = plane[:, y0 + 1, x0]
-    p11 = plane[:, y0 + 1, x0 + 1]
-    return (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-            + p10 * (1 - fx) * fy + p11 * fx * fy)
+    gu = (u + 1.0) * 0.5 * (r - 1)
+    gv = (v + 1.0) * 0.5 * (r - 1)
+    x0 = jnp.clip(jnp.floor(gu).astype(jnp.int32), 0, r - 2)
+    y0 = jnp.clip(jnp.floor(gv).astype(jnp.int32), 0, r - 2)
+    fx, fy = gu - x0, gv - y0
+    flat = plane.reshape(plane.shape[0], -1)                    # [C, R*R]
+
+    def tap(dy, dx):
+        return jnp.take(flat, (y0 + dy) * r + (x0 + dx), axis=1)  # [C, N]
+
+    return (tap(0, 0) * (1 - fx) * (1 - fy) + tap(0, 1) * fx * (1 - fy)
+            + tap(1, 0) * (1 - fx) * fy + tap(1, 1) * fx * fy)
 
 
 def _linear_line(line: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +53,7 @@ def _linear_line(line: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     g = (w + 1.0) * 0.5 * (r - 1)
     g0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, r - 2)
     f = g - g0
-    return line[:, g0] * (1 - f) + line[:, g0 + 1] * f
+    return jnp.take(line, g0, axis=1) * (1 - f) + jnp.take(line, g0 + 1, axis=1) * f
 
 
 class TensoRFGrid(nn.Module):
@@ -89,34 +93,33 @@ class TensoRFGrid(nn.Module):
                                     (3, self.app_n_comp, r, r))
         self.app_line = self.param("app_line", norm_init(self.init_scale),
                                    (3, self.app_n_comp, r))
-        self.basis_mat = nn.Dense(self.app_dim, use_bias=False, name="basis_mat")
+        from .decoder import DenseT
+        self.basis_mat = DenseT(self.app_dim, use_bias=False, name="basis_mat")
 
-    def density_feature(self, coords: jnp.ndarray) -> jnp.ndarray:
-        """[N, 3] -> [N] sigma feature (reference compute_densityfeature,
+    def density_feature(self, coordsT: jnp.ndarray) -> jnp.ndarray:
+        """[3, N] -> [N] sigma feature (reference compute_densityfeature,
         tensorf.py:73-88)."""
-        sigma = jnp.zeros(coords.shape[0], coords.dtype)
+        sigma = jnp.zeros(coordsT.shape[1], coordsT.dtype)
         for i in range(3):
-            uv = coords[:, _MAT_MODE[i]]
-            w = coords[:, _VEC_MODE[i]]
-            pc = _bilinear_plane(self.density_plane[i], uv)
-            lc = _linear_line(self.density_line[i], w)
+            a, b = _MAT_MODE[i]
+            pc = _bilinear_plane(self.density_plane[i], coordsT[a], coordsT[b])
+            lc = _linear_line(self.density_line[i], coordsT[_VEC_MODE[i]])
             sigma = sigma + jnp.sum(pc * lc, axis=0)
         return sigma
 
-    def app_feature(self, coords: jnp.ndarray) -> jnp.ndarray:
-        """[N, 3] -> [N, app_dim] (reference compute_appfeature, tensorf.py:91-106)."""
+    def app_feature(self, coordsT: jnp.ndarray) -> jnp.ndarray:
+        """[3, N] -> [app_dim, N] (reference compute_appfeature, tensorf.py:91-106)."""
         pcs, lcs = [], []
         for i in range(3):
-            uv = coords[:, _MAT_MODE[i]]
-            w = coords[:, _VEC_MODE[i]]
-            pcs.append(_bilinear_plane(self.app_plane[i], uv))
-            lcs.append(_linear_line(self.app_line[i], w))
+            a, b = _MAT_MODE[i]
+            pcs.append(_bilinear_plane(self.app_plane[i], coordsT[a], coordsT[b]))
+            lcs.append(_linear_line(self.app_line[i], coordsT[_VEC_MODE[i]]))
         pc = jnp.concatenate(pcs, axis=0)   # [3C, N]
         lc = jnp.concatenate(lcs, axis=0)
-        return self.basis_mat((pc * lc).T)
+        return self.basis_mat(pc * lc)      # [app_dim, N]
 
-    def __call__(self, coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.density_feature(coords), self.app_feature(coords)
+    def __call__(self, coordsT: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.density_feature(coordsT), self.app_feature(coordsT)
 
 
 def upsample_vm_params(params: dict, res_target: int) -> dict:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..core.rays import Rays
 from ..core.render_buffer import RenderBuffer
-from ..ops.composite import (composite_channel, composite_scalar,
+from ..ops.composite import (composite_channel_T, composite_scalar,
                              exponential_integration_weights)
 from ..ops.occupancy import OccupancyGrid
 from ..ops.raymarch import raymarch
@@ -46,10 +46,16 @@ class TracerConfig:
     """Static tracer settings (reference tracer ctor + trace() kwargs; defaults from
     best.yaml renderer group: num_steps 512, ray_max_travel 2.0, bg white).
 
-    ``sample_chunk``: the per-sample NeF evaluation is scanned in chunks of this many
-    samples with rematerialisation — bounds peak HBM to one chunk's activations
-    regardless of rays x steps (production scale is ~12.6M samples/step, far beyond
-    what fits unchunked on a 16 GB chip). 0 disables chunking.
+    ``sample_chunk``: optionally scans the per-sample NeF evaluation in
+    rematerialised chunks of this many samples. Default 0 (disabled): peak-memory
+    control normally comes from the trainer's image-axis gradient accumulation
+    (TrainerConfig.micro_batch_imgs), which keeps the compiled program flat — the
+    nested chunk-scan is kept for single-shot full-frame renders that exceed HBM.
+
+    ``ray_chunk``: rays are traced in rematerialised blocks of this size — march,
+    NeF eval and compositing all happen per block inside a lax.scan, so per-sample
+    channel tensors (e.g. the [200, rays*steps] instance-embedding activations) never
+    materialise for the whole batch. Peak HBM = one block. 0 disables.
     """
 
     tracer_type: str = "PanopticPackedRFTracer"   # or PanopticDDensityPackedRFTracer
@@ -58,26 +64,30 @@ class TracerConfig:
     bg_color: str = "white"
     ray_max_travel: float = 2.0
     ray_sparsity_reg: float = 0.0
-    sample_chunk: int = 1 << 19
+    sample_chunk: int = 0
+    # Default 0: the trainer's per-image gradient accumulation keeps the compiled
+    # program flat (scan+remat nests compile pathologically slowly on the current
+    # TPU toolchain); enable for single-shot renders that exceed HBM.
+    ray_chunk: int = 0
 
     @property
     def is_dd(self) -> bool:
         return "DDensity" in self.tracer_type
 
 
-def _chunked_nef_eval(nef_fn: NefFn, coords: jnp.ndarray, ray_d: jnp.ndarray,
+def _chunked_nef_eval(nef_fn: NefFn, coordsT: jnp.ndarray, ray_dT: jnp.ndarray,
                       channels: FrozenSet[str], chunk: int) -> Dict[str, jnp.ndarray]:
-    """Evaluate the NeF over [N, 3] samples in rematerialised chunks via lax.scan.
+    """Evaluate the NeF over [3, N] samples in rematerialised chunks via lax.scan.
 
     Peak memory = one chunk's activations; backward recomputes each chunk's forward
     (jax.checkpoint), so residuals are just the sample coords. N is padded to a chunk
     multiple (masked samples are cheap — they recompute garbage that is discarded)."""
-    n = coords.shape[0]
+    n = coordsT.shape[1]
     if chunk <= 0 or n <= chunk:
-        return nef_fn(coords, ray_d, channels)
+        return nef_fn(coordsT, ray_dT, channels)
     pad = (-n) % chunk
-    c = jnp.concatenate([coords, jnp.zeros((pad, 3), coords.dtype)])
-    d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
+    c = jnp.concatenate([coordsT, jnp.zeros((3, pad), coordsT.dtype)], axis=1)
+    d = jnp.concatenate([ray_dT, jnp.ones((3, pad), ray_dT.dtype)], axis=1)
     num_chunks = (n + pad) // chunk
 
     @jax.checkpoint
@@ -86,9 +96,10 @@ def _chunked_nef_eval(nef_fn: NefFn, coords: jnp.ndarray, ray_d: jnp.ndarray,
         return None, nef_fn(cc, dd, channels)
 
     _, outs = jax.lax.scan(
-        body, None, (c.reshape(num_chunks, chunk, 3),
-                     d.reshape(num_chunks, chunk, 3)))
-    return {k: v.reshape(num_chunks * chunk, *v.shape[2:])[:n]
+        body, None, (c.reshape(3, num_chunks, chunk).transpose(1, 0, 2),
+                     d.reshape(3, num_chunks, chunk).transpose(1, 0, 2)))
+    # outs: {ch: [num_chunks, C, chunk]} -> [C, N]
+    return {k: jnp.moveaxis(v, 0, 1).reshape(v.shape[1], num_chunks * chunk)[:, :n]
             for k, v in outs.items()}
 
 
@@ -96,22 +107,64 @@ def trace(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
           channels: FrozenSet[str], stage: str = "val",
           key: Optional[jax.Array] = None) -> RenderBuffer:
     """Trace rays against the neural field (reference trace(),
-    panoptic_packed_rf_tracer.py:51-195)."""
+    panoptic_packed_rf_tracer.py:51-195). Rays are processed in rematerialised
+    blocks of ``cfg.ray_chunk`` (see TracerConfig)."""
+    n = rays.origins.shape[0]
+    blk = cfg.ray_chunk
+    if blk <= 0 or n <= blk:
+        return _trace_block(nef_fn, rays, occ, cfg, channels, stage, key)
+
+    pad = (-n) % blk
+    o = jnp.concatenate([rays.origins, jnp.zeros((pad, 3))])
+    d = jnp.concatenate([rays.dirs,
+                         jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))])
+    num_blocks = (n + pad) // blk
+    keys = (jax.random.split(key, num_blocks) if key is not None
+            else jnp.zeros((num_blocks, 2), jnp.uint32))
+
+    @jax.checkpoint
+    def body(_, inp):
+        ob, db, kb = inp
+        rb = _trace_block(
+            nef_fn,
+            Rays(origins=ob, dirs=db, dist_min=rays.dist_min,
+                 dist_max=rays.dist_max),
+            occ, cfg, channels, stage, kb if key is not None else None)
+        return None, rb
+
+    _, stacked = jax.lax.scan(
+        body, None, (o.reshape(num_blocks, blk, 3),
+                     d.reshape(num_blocks, blk, 3), keys))
+
+    def unstack(x):
+        if x is None:
+            return None
+        if x.ndim == 1:   # scalar per block (ray_sparsity_loss): mean of blocks
+            return jnp.mean(x)
+        return x.reshape(num_blocks * blk, *x.shape[2:])[:n]
+
+    return jax.tree.map(unstack, stacked, is_leaf=lambda v: v is None)
+
+
+def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
+                 channels: FrozenSet[str], stage: str = "val",
+                 key: Optional[jax.Array] = None) -> RenderBuffer:
     num_rays = rays.origins.shape[0]
     rm = raymarch(rays, occ, cfg.num_steps, cfg.raymarch_type,
                   cfg.ray_max_travel, key=key)
     r, s = rm.depths.shape
 
-    coords = rm.positions.reshape(r * s, 3)
-    ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (r, s, 3)).reshape(r * s, 3)
+    # feature-major samples: [3, R*S] (see RaymarchResult layout note)
+    coordsT = rm.positionsT.reshape(3, r * s)
+    ray_dT = jnp.broadcast_to(rays.dirs.T[:, :, None], (3, r, s)).reshape(3, r * s)
 
     # Channels the NeF must evaluate per sample (tracer lines 121-124).
     sample_channels = frozenset(channels - RENDER_CHANNELS) | {"density"}
     if cfg.is_dd and (channels & PANOPTIC_CHANNELS):
         sample_channels = sample_channels | {"panoptic_density"}
 
-    feats = _chunked_nef_eval(nef_fn, coords, ray_d, sample_channels,
-                              cfg.sample_chunk)
+    feats = _chunked_nef_eval(nef_fn, coordsT, ray_dT, sample_channels,
+                              cfg.sample_chunk)                  # {ch: [C, N]}
     out: Dict[str, jnp.ndarray] = {}
 
     density = feats["density"].reshape(r, s)
@@ -137,7 +190,7 @@ def trace(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
         out["panoptic_alpha"] = panop_alpha
 
     if "rgb" in channels:
-        ray_colors = composite_channel(feats["rgb"].reshape(r, s, 3), weights)
+        ray_colors = composite_channel_T(feats["rgb"].reshape(3, r, s), weights)
         if cfg.bg_color == "white":
             out["rgb"] = (1.0 - alpha) + alpha * ray_colors
         else:
@@ -147,8 +200,8 @@ def trace(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
         out["depth"] = composite_scalar(rm.depths, weights)
 
     for ch in channels & PANOPTIC_CHANNELS:
-        f = feats[ch].reshape(r, s, -1)
-        out[ch] = panop_alpha * composite_channel(f, panop_weights)
+        f = feats[ch].reshape(-1, r, s)
+        out[ch] = panop_alpha * composite_channel_T(f, panop_weights)
 
     assert num_rays == r
     return RenderBuffer(**out)

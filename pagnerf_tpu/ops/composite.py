@@ -44,6 +44,13 @@ def composite_channel(feats: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("rsc,rs->rc", feats, weights)
 
 
+def composite_channel_T(featsT: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Feature-major compositing: featsT [C, R, S], weights [R, S] -> [R, C].
+    The per-sample features keep the sample axes minor (TPU lane-padding — see
+    ops/permuto_encoding.py); only the tiny per-ray output is sample-major."""
+    return jnp.einsum("crs,rs->rc", featsT, weights)
+
+
 def composite_scalar(vals: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """vals [R, S], weights [R, S] -> [R, 1] (depth compositing, tracer line 173)."""
     return jnp.sum(vals * weights, axis=-1, keepdims=True)

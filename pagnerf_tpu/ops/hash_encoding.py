@@ -60,52 +60,73 @@ def _spatial_hash(corner_idx: jnp.ndarray, log2_table_size: int) -> jnp.ndarray:
     return (h & jnp.uint32((1 << log2_table_size) - 1)).astype(jnp.int32)
 
 
+def _spatial_hash_T(corner_idx: jnp.ndarray, log2_table_size: int) -> jnp.ndarray:
+    """Feature-major spatial hash: corner coords [3, V, N] -> indices [V, N]."""
+    c = corner_idx.astype(jnp.uint32)
+    h = c[0] * jnp.uint32(_PRIMES[0])
+    h = h ^ (c[1] * jnp.uint32(_PRIMES[1]))
+    h = h ^ (c[2] * jnp.uint32(_PRIMES[2]))
+    return (h & jnp.uint32((1 << log2_table_size) - 1)).astype(jnp.int32)
+
+
 # The 8 voxel-corner offsets in zyx bit order, matching BOX_OFFSETS ordering of the
 # reference (grids/hash_grid_torch.py:10): index b -> (b>>2 & 1, b>>1 & 1, b & 1).
 _CORNERS = np.array([[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
                     dtype=np.int32)  # [8, 3]
 
 
-def hash_encode(tables: jnp.ndarray, coords: jnp.ndarray,
-                resolutions: Sequence[int] | np.ndarray,
-                compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Encode coords [N, 3] in [-1, 1] against multiresolution hash tables [L, T, F].
+def hash_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
+                  resolutions: Sequence[int] | np.ndarray,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Encode coords [3, N] in [-1, 1] against multiresolution hash tables [L, T, F].
 
-    Returns [N, L*F] concatenated level features (multiscale 'cat', the mode the
-    reference always uses internally: panoptic_nef.py:193).
+    Returns featsT [L*F, N] concatenated level features (multiscale 'cat', the mode
+    the reference always uses internally: panoptic_nef.py:193).
+
+    TPU layout note: the sample axis stays MINOR throughout — TPU pads the minor dim
+    to 128 lanes, so [N, 8]/[N, 3] sample-scale tensors would cost 16-42x their
+    logical size; in [8, N]/[3, N] layout padding is negligible.
     """
     num_levels, table_size, feat_dim = tables.shape
     log2_t = int(np.log2(table_size))
     assert (1 << log2_t) == table_size, "table size must be a power of two"
     res = jnp.asarray(np.asarray(resolutions), jnp.float32)  # [L]
 
-    x = jnp.clip(coords, -1.0, 1.0).astype(jnp.float32)      # [N, 3]
+    x = jnp.clip(coordsT, -1.0, 1.0).astype(jnp.float32)     # [3, N]
+    n = x.shape[1]
+    cornersT = jnp.asarray(_CORNERS.T)                       # [3, 8]
 
     def level_lookup(table, r):
         # Voxel-grid coords in [0, r]; bottom-left corner and fractional offset.
-        grid_size = 2.0 / r
-        cell = (x + 1.0) / grid_size                           # [N, 3]
+        cell = (x + 1.0) * (r / 2.0)                           # [3, N]
         bl = jnp.floor(cell)
-        frac = cell - bl                                       # [N, 3] in [0, 1)
-        corners = bl.astype(jnp.int32)[:, None, :] + _CORNERS[None, :, :]  # [N, 8, 3]
-        idx = _spatial_hash(corners, log2_t)                   # [N, 8]
-        feats = table[idx]                                     # [N, 8, F] gather
+        frac = cell - bl                                       # [3, N] in [0, 1)
+        corners = bl.astype(jnp.int32)[:, None, :] + cornersT[:, :, None]  # [3,8,N]
+        idx = _spatial_hash_T(corners, log2_t)                 # [8, N]
+        feats = jnp.take(table.T, idx, axis=1)                 # [F, 8, N] gather
         # Trilinear weights per corner: prod over axes of (frac or 1-frac).
-        w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
-        w = w[..., 0] * w[..., 1] * w[..., 2]                  # [N, 8]
-        return jnp.sum(feats.astype(compute_dtype) * w[..., None].astype(compute_dtype),
-                       axis=1)                                 # [N, F]
+        w = jnp.where(cornersT[:, :, None].astype(bool),
+                      frac[:, None, :], 1.0 - frac[:, None, :])  # [3, 8, N]
+        w = w[0] * w[1] * w[2]                                 # [8, N]
+        return jnp.sum(feats.astype(compute_dtype)
+                       * w[None].astype(compute_dtype), axis=1)  # [F, N]
 
-    # Scan over levels (see permuto_encoding.py): bounds peak memory to one level's
-    # [N, 8] intermediates and keeps backward residuals to coords + tables.
+    # Scan over levels: bounds peak memory to one level's intermediates and keeps
+    # backward residuals to coords + tables.
     @jax.checkpoint
     def body(_, level_in):
         table, r = level_in
         return None, level_lookup(table, r)
 
-    _, per_level = jax.lax.scan(body, None, (tables, res))     # [L, N, F]
-    n = coords.shape[0]
-    return jnp.transpose(per_level, (1, 0, 2)).reshape(n, num_levels * feat_dim)
+    _, per_level = jax.lax.scan(body, None, (tables, res))     # [L, F, N]
+    return per_level.reshape(num_levels * feat_dim, n)
+
+
+def hash_encode(tables: jnp.ndarray, coords: jnp.ndarray,
+                resolutions: Sequence[int] | np.ndarray,
+                compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Sample-major wrapper: coords [N, 3] -> [N, L*F]."""
+    return hash_encode_T(tables, coords.T, resolutions, compute_dtype).T
 
 
 class HashEncodingSpec:
@@ -134,3 +155,7 @@ class HashEncodingSpec:
     def encode(self, tables: jnp.ndarray, coords: jnp.ndarray,
                compute_dtype=jnp.float32) -> jnp.ndarray:
         return hash_encode(tables, coords, self.resolutions, compute_dtype)
+
+    def encode_T(self, tables: jnp.ndarray, coordsT: jnp.ndarray,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+        return hash_encode_T(tables, coordsT, self.resolutions, compute_dtype)

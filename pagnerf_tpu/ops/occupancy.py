@@ -52,9 +52,35 @@ class OccupancyGrid:
         ijk = jnp.clip(((coords + 1.0) * 0.5 * res).astype(jnp.int32), 0, res - 1)
         return (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
 
+    def cell_indices_T(self, coordsT: jnp.ndarray) -> jnp.ndarray:
+        """Feature-major variant: coordsT [3, ...] -> flat cell indices [...]
+        (no lane-padded [N, 3] intermediate — see ops/permuto_encoding.py)."""
+        res = self.res
+        ijk = jnp.clip(((coordsT + 1.0) * 0.5 * res).astype(jnp.int32), 0, res - 1)
+        return (ijk[0] * res + ijk[1]) * res + ijk[2]
+
+    def _lookup(self, idx: jnp.ndarray) -> jnp.ndarray:
+        """Mask lookup by flat cell index.
+
+        TPU note: XLA lowers scalar gathers from a 1-D array to an element-at-a-time
+        loop (catastrophic compile and run time). Instead gather along the minor
+        axis of a [res^2, res] view with ``take_along_axis``-style row indexing:
+        idx -> (row, col) with col on lanes.
+        """
+        shape = idx.shape
+        flat = idx.reshape(-1)
+        rows = self.mask.astype(jnp.uint8).reshape(-1, 128)[flat >> 7]   # [N, 128]
+        lane = (flat & 127)[:, None]
+        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane
+        return jnp.sum(rows * sel.astype(jnp.uint8), axis=-1).astype(bool).reshape(shape)
+
     def occupied_at(self, coords: jnp.ndarray) -> jnp.ndarray:
         """Boolean visibility lookup at world coords [..., 3]."""
-        return self.mask[self.cell_indices(coords)]
+        return self._lookup(self.cell_indices(coords))
+
+    def occupied_at_T(self, coordsT: jnp.ndarray) -> jnp.ndarray:
+        """Boolean visibility lookup at world coords [3, ...]."""
+        return self._lookup(self.cell_indices_T(coordsT))
 
     def cell_centers_jittered(self, key: jax.Array) -> jnp.ndarray:
         """One uniformly-jittered point per cell, in [-1, 1]^3 — the prune sampling

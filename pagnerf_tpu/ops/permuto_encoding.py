@@ -59,30 +59,44 @@ def _hash_keys(keys: jnp.ndarray, log2_capacity: int) -> jnp.ndarray:
     return (h & jnp.uint32((1 << log2_capacity) - 1)).astype(jnp.int32)
 
 
-def simplex_vertices_and_weights(scaled: jnp.ndarray):
-    """Locate the enclosing lattice simplex of points [N, 3] (already divided by the
+def _hash_keys_T(keys: jnp.ndarray, log2_capacity: int) -> jnp.ndarray:
+    """Feature-major hash: keys [V, 3, N] -> indices [V, N]."""
+    k = keys.astype(jnp.uint32)
+    h = k[:, 0] * jnp.uint32(_PRIMES[0])
+    h = h ^ (k[:, 1] * jnp.uint32(_PRIMES[1]))
+    h = h ^ (k[:, 2] * jnp.uint32(_PRIMES[2]))
+    return (h & jnp.uint32((1 << log2_capacity) - 1)).astype(jnp.int32)
+
+
+def simplex_vertices_and_weights_T(scaledT: jnp.ndarray):
+    """Locate the enclosing lattice simplex of points [3, N] (already divided by the
     level scale) and compute barycentric weights.
 
+    TPU layout note: all sample-scale tensors keep the sample axis MINOR (lanes).
+    TPU tiles the two minor dims to (8, 128); a `[N, 4]` tensor would be padded to
+    `[N, 128]` — 32x the memory and bandwidth. In `[4, N]` layout the pad is
+    negligible. This is the difference between the encoder fitting in HBM at
+    production sample counts and a 50 GB allocation failure.
+
     Returns:
-      keys: [N, 4, 3] int32 lattice coordinates (first 3 of 4; the 4th is implied by
-            the sum-zero constraint) of the 4 simplex vertices.
-      bary: [N, 4] barycentric weights (>= 0, sum to 1).
+      keys: [4, 3, N] int32 lattice coordinates of the 4 simplex vertices
+            (first 3 of 4 coords; the 4th is implied by the sum-zero constraint).
+      bary: [4, N] barycentric weights (>= 0, sum to 1).
     """
-    el = scaled @ jnp.asarray(_E.T, scaled.dtype)               # [N, 4]
+    el = jnp.asarray(_E, scaledT.dtype) @ scaledT                # [4, N]
 
     # Closest remainder-0 lattice point by rounding to multiples of (d+1).
-    v = el / _VERTS
-    gr = jnp.round(v) * _VERTS                                   # [N, 4]
-    sum_val = jnp.sum(gr, axis=-1) / _VERTS                      # [N] integer-valued
+    gr = jnp.round(el / _VERTS) * _VERTS                         # [4, N]
+    sum_val = jnp.sum(gr, axis=0) / _VERTS                       # [N] integer-valued
 
     # Rank of each coordinate's differential (descending), ties broken by index.
-    diff = el - gr                                               # [N, 4]
-    di = diff[:, :, None]                                        # coordinate i
-    dj = diff[:, None, :]                                        # coordinate j
+    diff = el - gr                                               # [4, N]
+    di = diff[:, None, :]                                        # coordinate i
+    dj = diff[None, :, :]                                        # coordinate j
     idx = jnp.arange(_VERTS)
-    tie = (dj == di) & (idx[None, None, :] < idx[None, :, None])
-    rank = jnp.sum((dj > di) | tie, axis=-1).astype(jnp.int32)   # [N, 4]
-    rank = rank + sum_val.astype(jnp.int32)[:, None]
+    tie = (dj == di) & (idx[None, :, None] < idx[:, None, None])
+    rank = jnp.sum((dj > di) | tie, axis=1).astype(jnp.int32)    # [4, N]
+    rank = rank + sum_val.astype(jnp.int32)[None, :]
 
     # Wrap out-of-range ranks, adjusting the rounded point accordingly.
     under = rank < 0
@@ -90,57 +104,73 @@ def simplex_vertices_and_weights(scaled: jnp.ndarray):
     rank = rank + _VERTS * under.astype(jnp.int32) - _VERTS * over.astype(jnp.int32)
     gr = gr + _VERTS * under.astype(gr.dtype) - _VERTS * over.astype(gr.dtype)
 
-    # Barycentric coordinates from the sorted differentials (scatter via one-hot).
-    delta = (el - gr) / _VERTS                                   # [N, 4]
-    plus = jax.nn.one_hot(_D - rank, _VERTS + 1, dtype=delta.dtype)   # [N, 4, 5]
-    minus = jax.nn.one_hot(_D + 1 - rank, _VERTS + 1, dtype=delta.dtype)
-    bary = jnp.sum((plus - minus) * delta[..., None], axis=1)    # [N, 5]
-    bary = bary.at[:, 0].add(1.0 + bary[:, _VERTS])
-    bary = bary[:, :_VERTS]                                      # [N, 4]
+    # Barycentric coordinates from the sorted differentials: bary_b = sum_i delta_i *
+    # ([d - rank_i == b] - [d + 1 - rank_i == b]), then fold the (d+1)th bin into 0.
+    delta = (el - gr) / _VERTS                                   # [4, N]
+    b = jnp.arange(_VERTS + 1, dtype=jnp.int32)[:, None, None]   # [5, 1, 1]
+    plus = ((_D - rank)[None] == b).astype(delta.dtype)          # [5, 4, N]
+    minus = ((_D + 1 - rank)[None] == b).astype(delta.dtype)
+    bary = jnp.sum((plus - minus) * delta[None], axis=1)         # [5, N]
+    bary = bary.at[0].add(1.0 + bary[_VERTS])
+    bary = bary[:_VERTS]                                         # [4, N]
 
     # Vertex keys for remainders r = 0..d:
     # key_i = gr_i + r - (d+1 if rank_i > d - r else 0); only first 3 coords hashed.
-    r = jnp.arange(_VERTS, dtype=jnp.int32)                      # [4]
-    gri = gr.astype(jnp.int32)[:, None, :_D]                     # [N, 1, 3]
-    ranki = rank[:, None, :_D]                                   # [N, 1, 3]
-    sub = (ranki > (_D - r[None, :, None])).astype(jnp.int32) * _VERTS
-    keys = gri + r[None, :, None] - sub                          # [N, 4, 3]
+    r = jnp.arange(_VERTS, dtype=jnp.int32)[:, None, None]       # [4, 1, 1]
+    gri = gr.astype(jnp.int32)[None, :_D, :]                     # [1, 3, N]
+    ranki = rank[None, :_D, :]                                   # [1, 3, N]
+    sub = (ranki > (_D - r)).astype(jnp.int32) * _VERTS
+    keys = gri + r - sub                                         # [4, 3, N]
     return keys, bary
 
 
-def permuto_encode(tables: jnp.ndarray, coords: jnp.ndarray,
-                   scales: np.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Encode coords [N, 3] against permutohedral tables [L, C, F] with per-level
+def simplex_vertices_and_weights(scaled: jnp.ndarray):
+    """Sample-major wrapper ([N, 3] -> keys [N, 4, 3], bary [N, 4]) for tests and
+    small hosts; the hot path uses the _T variant."""
+    keys, bary = simplex_vertices_and_weights_T(scaled.T)
+    return jnp.transpose(keys, (2, 0, 1)), bary.T
+
+
+def permuto_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
+                     scales: np.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Encode coords [3, N] against permutohedral tables [L, C, F] with per-level
     scales [L] (geomspace coarsest->finest; reference grids/permuto_grid.py:53).
 
-    Returns [N, L*F] concatenated level features.
+    Returns featsT [L*F, N] concatenated level features, sample axis minor (see
+    simplex_vertices_and_weights_T for why this layout).
     """
     num_levels, capacity, feat_dim = tables.shape
     log2_c = int(np.log2(capacity))
     assert (1 << log2_c) == capacity, "capacity must be a power of two"
     inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
 
-    x = coords.astype(jnp.float32)
+    x = coordsT.astype(jnp.float32)                              # [3, N]
+    n = x.shape[1]
 
     def level_lookup(table, inv_s):
-        keys, bary = simplex_vertices_and_weights(x * inv_s)
-        idx = _hash_keys(keys, log2_c)                           # [N, 4]
-        feats = table[idx]                                       # [N, 4, F] gather
+        keys, bary = simplex_vertices_and_weights_T(x * inv_s)   # [4,3,N], [4,N]
+        idx = _hash_keys_T(keys, log2_c)                         # [4, N]
+        # gather rows along the capacity axis of the feature-major table [F, C]:
+        # out[f, v, n] = tableT[f, idx[v, n]]
+        feats = jnp.take(table.T, idx, axis=1)                   # [F, 4, N]
         return jnp.sum(feats.astype(compute_dtype)
-                       * bary[..., None].astype(compute_dtype), axis=1)
+                       * bary[None].astype(compute_dtype), axis=1)  # [F, N]
 
-    # Scan (not vmap) over levels: per-level [N, 4] intermediates are freed between
-    # iterations instead of materialising [L, N, 4] at once (which OOMs HBM at
-    # production sample counts), and the rematerialised body keeps backward residuals
-    # to just coords + tables.
+    # Scan (not vmap) over levels: per-level intermediates are freed between
+    # iterations; the rematerialised body keeps backward residuals to coords+tables.
     @jax.checkpoint
     def body(_, level_in):
         table, inv_s = level_in
         return None, level_lookup(table, inv_s)
 
-    _, per_level = jax.lax.scan(body, None, (tables, inv_scales))  # [L, N, F]
-    n = coords.shape[0]
-    return jnp.transpose(per_level, (1, 0, 2)).reshape(n, num_levels * feat_dim)
+    _, per_level = jax.lax.scan(body, None, (tables, inv_scales))  # [L, F, N]
+    return per_level.reshape(num_levels * feat_dim, n)
+
+
+def permuto_encode(tables: jnp.ndarray, coords: jnp.ndarray,
+                   scales: np.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Sample-major wrapper: coords [N, 3] -> [N, L*F]."""
+    return permuto_encode_T(tables, coords.T, scales, compute_dtype).T
 
 
 class PermutoEncodingSpec:
@@ -167,3 +197,7 @@ class PermutoEncodingSpec:
     def encode(self, tables: jnp.ndarray, coords: jnp.ndarray,
                compute_dtype=jnp.float32) -> jnp.ndarray:
         return permuto_encode(tables, coords, self.scales, compute_dtype)
+
+    def encode_T(self, tables: jnp.ndarray, coordsT: jnp.ndarray,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+        return permuto_encode_T(tables, coordsT, self.scales, compute_dtype)

@@ -30,16 +30,23 @@ _BIG = 1e10
 class RaymarchResult:
     """Dense samples along rays.
 
-    positions: [R, S, 3] world-space sample positions.
+    positionsT: [3, R, S] world-space sample positions, coordinate axis MAJOR —
+                a [R, S, 3] layout would lane-pad 3 -> 128 on TPU (42x memory,
+                see ops/permuto_encoding.py).
     depths:    [R, S] distance along ray.
     deltas:    [R, S] inter-sample step length.
     mask:      [R, S] bool validity (inside AABB, occupied cell, within max travel).
     """
 
-    positions: jnp.ndarray
+    positionsT: jnp.ndarray
     depths: jnp.ndarray
     deltas: jnp.ndarray
     mask: jnp.ndarray
+
+    @property
+    def positions(self) -> jnp.ndarray:
+        """Sample-major view [R, S, 3] (tests / small hosts only)."""
+        return jnp.transpose(self.positionsT, (1, 2, 0))
 
 
 def aabb_intersect(rays: Rays, lo: float = -1.0, hi: float = 1.0
@@ -93,11 +100,17 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
     t0 = jnp.maximum(t_near, rays.dist_min)
     t1 = jnp.maximum(jnp.minimum(t_far, rays.dist_max), t0)
 
+    # feature-major ray geometry: [3, R] so positions come out [3, R, S]
+    oT = rays.origins.T
+    dT = rays.dirs.T
+
+    def positions_at(depths):
+        return oT[:, :, None] + dT[:, :, None] * depths[None, :, :]   # [3, R, S]
+
     if raymarch_type == "voxel":
         # Coarse occupancy probe to find the first-hit depth per ray.
         probe_depths, _ = _uniform_samples(t0, t1, num_steps, None)
-        probe_pos = rays.origins[:, None, :] + rays.dirs[:, None, :] * probe_depths[..., None]
-        probe_occ = occ.occupied_at(probe_pos)
+        probe_occ = occ.occupied_at_T(positions_at(probe_depths))
         first = jnp.min(jnp.where(probe_occ, probe_depths, _BIG), axis=-1)
         has_hit = first < _BIG
         t0 = jnp.where(has_hit, first, t0)
@@ -105,11 +118,12 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
             t1 = jnp.where(has_hit, jnp.minimum(t0 + ray_max_travel, t1), t1)
 
     depths, deltas = _uniform_samples(t0, t1, num_steps, key)
-    positions = rays.origins[:, None, :] + rays.dirs[:, None, :] * depths[..., None]
-    mask = occ.occupied_at(positions) & hit_aabb[:, None]
+    positionsT = positions_at(depths)
+    mask = occ.occupied_at_T(positionsT) & hit_aabb[:, None]
 
     if raymarch_type != "voxel" and ray_max_travel != float("inf"):
         first = jnp.min(jnp.where(mask, depths, _BIG), axis=-1, keepdims=True)
         mask = mask & ((depths - first) < ray_max_travel)
 
-    return RaymarchResult(positions=positions, depths=depths, deltas=deltas, mask=mask)
+    return RaymarchResult(positionsT=positionsT, depths=depths, deltas=deltas,
+                          mask=mask)

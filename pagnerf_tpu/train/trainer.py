@@ -94,10 +94,22 @@ class TrainerConfig:
     lod_annel_epochs: int = 400
     lod_annel_epoch_start: int = 0
 
+    # Gradient accumulation: the step is compiled per image-microbatch and grads are
+    # accumulated across microbatches. Bounds peak HBM to one microbatch's
+    # activations with a simple (non-nested) program structure; per-image losses
+    # (linear assignment, segment reg) stay exact because microbatching is along the
+    # image axis. 0 = whole batch in one program.
+    micro_batch_imgs: int = 1
+
     valid_every: int = 100
     render_batch: int = 8000
     val_mip: int = 2
     inst_num_dilations: int = 1
+    num_val_frames_to_save: int = 1
+    render_val_labels: bool = True
+    save_preds: bool = False
+    num_clustering_samples: int = 20000
+    low_res_val: bool = False
     seed: int = 0
 
 
@@ -280,9 +292,10 @@ class PanopticTrainer:
         # grid TV regularizers (trainer.py:556-574)
         if cfg.grid_tvl1_reg > 0.0 or cfg.grid_tvl2_reg > 0.0:
             def grid_enc(c):
+                # sample-major [N, 3] adapter over the feature-major grid
                 return self.pipeline.nef.apply(
                     {"params": params["nef"]}, c,
-                    method=lambda m, cc: m._grid_feats(m.grid_module, cc, None))
+                    method=lambda m, cc: m._grid_feats(m.grid_module, cc.T, None).T)
             k1, key = jax.random.split(key)
             if cfg.grid_tvl1_reg > 0.0:
                 total = total + cfg.grid_tvl1_reg * grid_tv_l1_loss(
@@ -315,27 +328,55 @@ class PanopticTrainer:
             return False
 
         @jax.jit
-        def step(params, opt_state, occ, lod_w, batch, key):
+        def grad_step(params, occ, lod_w, batch, key):
             def loss_fn(p):
                 return self._compute_losses(p, batch, stage, key, occ, lod_w)
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, losses
+
+        @jax.jit
+        def accum(acc_g, acc_l, grads, losses):
+            return (jax.tree.map(jnp.add, acc_g, grads),
+                    jax.tree.map(jnp.add, acc_l, losses))
+
+        @jax.jit
+        def apply_step(params, opt_state, grads, scale):
+            grads = jax.tree.map(lambda g: g * scale, grads)
             updates, new_opt = masked_update(self.tx, grads, opt_state, params,
                                              frozen_fn)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt, losses
+            return optax.apply_updates(params, updates), new_opt
 
-        return step
+        return grad_step, accum, apply_step
 
     def train_step(self, stage: StageConfig, batch: Dict[str, np.ndarray]):
+        """One optimisation step with image-axis gradient accumulation."""
         if stage not in self._train_step_cache:
             self._train_step_cache[stage] = self._make_train_step(stage)
-        self._step_key, k = jax.random.split(self._step_key)
-        jbatch = {key: jnp.asarray(v) for key, v in batch.items()}
-        self.params, self.opt_state, losses = self._train_step_cache[stage](
-            self.params, self.opt_state, self.occ, self.lod_w, jbatch, k)
+        grad_step, accum, apply_step = self._train_step_cache[stage]
+
+        b = batch["imgs"].shape[0]
+        mb = self.cfg.micro_batch_imgs or b
+        mb = min(mb, b)
+        num_micro = (b + mb - 1) // mb
+        acc_g = acc_l = None
+        for m in range(num_micro):
+            sl = slice(m * mb, min((m + 1) * mb, b))
+            if sl.stop - sl.start < mb:   # keep shapes static: wrap around
+                sl = slice(b - mb, b)
+            sub = {k: jnp.asarray(v[sl]) if getattr(v, "ndim", 0) >= 1
+                   and v.shape[0] == b else jnp.asarray(v)
+                   for k, v in batch.items()}
+            self._step_key, k = jax.random.split(self._step_key)
+            grads, losses = grad_step(self.params, self.occ, self.lod_w, sub, k)
+            if acc_g is None:
+                acc_g, acc_l = grads, losses
+            else:
+                acc_g, acc_l = accum(acc_g, acc_l, grads, losses)
+        self.params, self.opt_state = apply_step(self.params, self.opt_state,
+                                                 acc_g, 1.0 / num_micro)
         self.global_step += 1
-        return losses
+        return {k: v / num_micro for k, v in acc_l.items()}
 
     # -------------------------------------------------------------- prune
     def prune(self, chunk: int = 65536):

@@ -21,6 +21,8 @@ from ..core.rays import Rays
 from ..utils.clustering import MeanShift
 from ..utils.metrics import IoU, MeanAveragePrecision, PSNR, PanopticQuality
 from ..utils.postprocess import clean_instance_map
+from ..utils.visualization import (depth2rgb, label2rgb, label_colormap,
+                                   write_png, write_video)
 
 log = logging.getLogger(__name__)
 
@@ -101,6 +103,10 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
     render_time = 0.0
     num_imgs = data["imgs"].shape[0]
     have_labels = False
+    sem_cmap = label_colormap(max(sem_info["num_classes"], 2))
+    frames = {k: [] for k in ("rgb", "depth", "sem", "sem_rgb", "inst",
+                              "inst_rgb", "inst_conf")}
+    media_dir = os.path.join(log_dir, "val", f"epoch_{epoch}") if log_dir else None
     for i in range(num_imgs):
         cam_idx = int(data["cam_idx"][i]) if use_base else None
         rays = _rays_from(data, i, use_base)
@@ -110,6 +116,9 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
 
         rgb = np.asarray(rb.rgb).reshape(h, w, 3)
         psnr.update(rgb, np.asarray(data["imgs"][i])[..., :3])
+        rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        frames["rgb"].append(rgb_u8)
+        frames["depth"].append(depth2rgb(np.asarray(rb.depth).reshape(h, w)))
 
         sem_map = None
         if use_sem:
@@ -120,6 +129,9 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                 iou.update(sem_map, sem_gts)
                 if "semantics_pred" in data:
                     iou_pred.update(np.asarray(data["semantics_pred"][i]), sem_gts)
+            frames["sem"].append(label2rgb(sem_map, colormap=sem_cmap))
+            frames["sem_rgb"].append(label2rgb(sem_map, colormap=sem_cmap,
+                                               image=rgb_u8))
 
         if use_inst and sem_map is not None:
             inst_gts = np.asarray(data["instance"][i]).reshape(h, w)
@@ -129,9 +141,22 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                 inst_map = clustering.predict_clusters(en).reshape(h, w)
             else:
                 inst_map = np.argmax(e, -1).reshape(h, w)
+            inst_conf = np.max(e, -1).reshape(h, w)
             inst_map, masks, _ = clean_instance_map(
                 inst_map, cfg.inst_num_dilations,
                 outlier_rejection=cfg.inst_outlier_rejection)
+            icmap = label_colormap(int(inst_map.max()) + 2)
+            frames["inst"].append(label2rgb(inst_map, colormap=icmap))
+            frames["inst_rgb"].append(label2rgb(inst_map, colormap=icmap,
+                                                image=rgb_u8, alpha=0.7))
+            frames["inst_conf"].append(depth2rgb(inst_conf, 0.0, 1.0))
+            if media_dir and getattr(cfg, "save_preds", False):
+                # prediction pickles for downstream eval (trainer.py:844-853)
+                import pickle
+                pp = os.path.join(media_dir, "panoptic")
+                os.makedirs(pp, exist_ok=True)
+                with open(os.path.join(pp, f"{i}.pkl"), "wb") as f:
+                    pickle.dump(np.stack([sem_map, inst_map]).astype(np.uint8), f)
             labeled = not np.all(sem_gts == -1) and not np.all(inst_gts == -1)
             if labeled:
                 have_labels = True
@@ -148,6 +173,22 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                     p_ids = np.unique(ip)
                     p_masks = (ip[None] == p_ids[1:][:, None, None])
                     mAP_pred.update(p_masks, np.ones(p_masks.shape[0]), gt_masks)
+
+    # validation media: PNG frames + per-channel videos (trainer.py:855-896)
+    if media_dir:
+        os.makedirs(media_dir, exist_ok=True)
+        every = max(getattr(cfg, "num_val_frames_to_save", 1), 1)
+        for i in range(0, num_imgs, every):
+            write_png(os.path.join(media_dir, f"{i}.png"), frames["rgb"][i])
+            write_png(os.path.join(media_dir, f"{i}_gt.png"),
+                      np.asarray(data["imgs"][i])[..., :3])
+            if frames["sem"]:
+                write_png(os.path.join(media_dir, f"{i}_sem.png"), frames["sem"][i])
+            if frames["inst"]:
+                write_png(os.path.join(media_dir, f"{i}_inst.png"), frames["inst"][i])
+        for name, fl in frames.items():
+            if fl:
+                write_video(os.path.join(media_dir, f"{name}.mp4"), fl)
 
     metrics = {"val/psnr": psnr.compute(),
                "val/render_time_per_img": render_time / max(num_imgs, 1)}
@@ -189,9 +230,10 @@ def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None) -> Dict[str
     clustering = None
     if getattr(trainer.pipeline.nef, "use_clustering", False) and \
             epoch >= trainer.cfg.inst_epoch_start:
-        clustering = train_clustering(trainer)
+        clustering = train_clustering(trainer, trainer.cfg.num_clustering_samples)
     mip = trainer.cfg.val_mip
-    if epoch >= trainer.cfg.epochs:
+    # full-res final validation unless low_res_val (trainer.py:972-976)
+    if epoch >= trainer.cfg.epochs and not trainer.cfg.low_res_val:
         mip = 0
     data = trainer.dataset.get_images(split="val", mip=mip)
     log.info("validation: %d images at %dx%d", data["imgs"].shape[0],

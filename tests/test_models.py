@@ -38,23 +38,25 @@ def make_nef(cls=PanopticDeltaNeF, grid=TINY_GRID, **kw):
 
 
 def init_nef(nef, n=12):
+    """Returns params + feature-major coordsT/dirsT [3, n] (the NeF hot-path API)."""
     coords = jax.random.uniform(jax.random.PRNGKey(0), (n, 3), minval=-1, maxval=1)
     dirs = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    params = nef.init(jax.random.PRNGKey(2), coords, dirs, nef.supported_channels())
-    return params, coords, dirs
+    params = nef.init(jax.random.PRNGKey(2), coords.T, dirs.T,
+                      nef.supported_channels())
+    return params, coords.T, dirs.T
 
 
 def test_panoptic_nef_shapes_and_gating():
     nef = make_nef(PanopticNeF, grid=TINY_HASH)
     params, coords, dirs = init_nef(nef)
     out = nef.apply(params, coords, dirs, ALL_CH)
-    assert out["density"].shape == (12, 1)
-    assert out["rgb"].shape == (12, 3)
-    assert out["semantics"].shape == (12, 5)
-    assert out["inst_embedding"].shape == (12, 8)
+    assert out["density"].shape == (1, 12)
+    assert out["rgb"].shape == (3, 12)
+    assert out["semantics"].shape == (5, 12)
+    assert out["inst_embedding"].shape == (8, 12)
     assert (np.asarray(out["density"]) >= 0).all()
-    np.testing.assert_allclose(np.asarray(out["semantics"]).sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["semantics"]).sum(0), 1.0, atol=1e-5)
     # gating: only requested channels materialise
     only_d = nef.apply(params, coords, dirs, frozenset({"density"}))
     assert set(only_d.keys()) == {"density"}
@@ -100,7 +102,7 @@ def test_delta_nef_feature_modes():
         nef = make_nef(panoptic_features_type=mode)
         params, coords, dirs = init_nef(nef, n=6)
         out = nef.apply(params, coords, dirs, frozenset({"semantics"}))
-        assert out["semantics"].shape == (6, 5), mode
+        assert out["semantics"].shape == (5, 6), mode
 
 
 def test_dd_nef_density_stop_gradient():
@@ -110,7 +112,7 @@ def test_dd_nef_density_stop_gradient():
     params, coords, dirs = init_nef(nef)
     out = nef.apply(params, coords, dirs,
                     frozenset({"density", "panoptic_density", "delta_density"}))
-    assert out["panoptic_density"].shape == (12, 1)
+    assert out["panoptic_density"].shape == (1, 12)
     assert (np.asarray(out["panoptic_density"]) >= 0).all()
 
     def pd_loss(p):
