@@ -119,6 +119,12 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
         pose[:3, 3] *= scale
         pose[:3, 3] += offset
         if d["split"] == "train" and add_noise_to_train_poses and i > 0:
+            # rotation + translation noise, first frame kept clean as the BA anchor
+            # (reference bup20.py:276-279: rot in ±strength*pi/2, trans in ±strength)
+            from scipy.spatial.transform import Rotation
+            ang = pose_noise_strength * (2 * rng.random(3) - 1) * np.pi / 2
+            pose[:3, :3] = pose[:3, :3] @ Rotation.from_euler(
+                "xyz", ang).as_matrix().astype(np.float32)
             pose[:3, 3] += pose_noise_strength * (2 * rng.random(3) - 1)
         views.append(_CV_BASIS @ pose)
         ts.append(d["odom_ts"])

@@ -60,6 +60,8 @@ class GridConfig:
     density_n_comp: int = 16
     app_n_comp: int = 48
     resolution: int = 128
+    max_resolution: int = 192
+    num_resolutions: int = 5
     compute_dtype: str = "float32"
 
     def build(self, name: str):

@@ -96,29 +96,25 @@ def hash_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
     n = x.shape[1]
     cornersT = jnp.asarray(_CORNERS.T)                       # [3, 8]
 
-    def level_lookup(table, r):
+    from .table_gather import multilevel_table_gather
+
+    def level_index(r):
         # Voxel-grid coords in [0, r]; bottom-left corner and fractional offset.
         cell = (x + 1.0) * (r / 2.0)                           # [3, N]
         bl = jnp.floor(cell)
         frac = cell - bl                                       # [3, N] in [0, 1)
         corners = bl.astype(jnp.int32)[:, None, :] + cornersT[:, :, None]  # [3,8,N]
         idx = _spatial_hash_T(corners, log2_t)                 # [8, N]
-        feats = jnp.take(table.T, idx, axis=1)                 # [F, 8, N] gather
         # Trilinear weights per corner: prod over axes of (frac or 1-frac).
         w = jnp.where(cornersT[:, :, None].astype(bool),
                       frac[:, None, :], 1.0 - frac[:, None, :])  # [3, 8, N]
-        w = w[0] * w[1] * w[2]                                 # [8, N]
-        return jnp.sum(feats.astype(compute_dtype)
-                       * w[None].astype(compute_dtype), axis=1)  # [F, N]
+        return idx, w[0] * w[1] * w[2]                         # [8,N], [8,N]
 
-    # Scan over levels: bounds peak memory to one level's intermediates and keeps
-    # backward residuals to coords + tables.
-    @jax.checkpoint
-    def body(_, level_in):
-        table, r = level_in
-        return None, level_lookup(table, r)
-
-    _, per_level = jax.lax.scan(body, None, (tables, res))     # [L, F, N]
+    # Per-level voxel math is cheap VPU work; the gathers for all levels run as ONE
+    # fused op (Pallas kernel on TPU).
+    idx, w = jax.vmap(level_index)(res)                        # [L, 8, N] x2
+    per_level = multilevel_table_gather(tables.astype(compute_dtype), idx,
+                                        w.astype(compute_dtype))   # [L, F, N]
     return per_level.reshape(num_levels * feat_dim, n)
 
 

@@ -147,23 +147,17 @@ def permuto_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
     x = coordsT.astype(jnp.float32)                              # [3, N]
     n = x.shape[1]
 
-    def level_lookup(table, inv_s):
+    from .table_gather import multilevel_table_gather
+
+    def level_index(inv_s):
         keys, bary = simplex_vertices_and_weights_T(x * inv_s)   # [4,3,N], [4,N]
-        idx = _hash_keys_T(keys, log2_c)                         # [4, N]
-        # gather rows along the capacity axis of the feature-major table [F, C]:
-        # out[f, v, n] = tableT[f, idx[v, n]]
-        feats = jnp.take(table.T, idx, axis=1)                   # [F, 4, N]
-        return jnp.sum(feats.astype(compute_dtype)
-                       * bary[None].astype(compute_dtype), axis=1)  # [F, N]
+        return _hash_keys_T(keys, log2_c), bary                  # [4,N], [4,N]
 
-    # Scan (not vmap) over levels: per-level intermediates are freed between
-    # iterations; the rematerialised body keeps backward residuals to coords+tables.
-    @jax.checkpoint
-    def body(_, level_in):
-        table, inv_s = level_in
-        return None, level_lookup(table, inv_s)
-
-    _, per_level = jax.lax.scan(body, None, (tables, inv_scales))  # [L, F, N]
+    # Per-level lattice math is cheap VPU work ([V, N] tensors, sample-minor);
+    # the gathers for all levels run as ONE fused op (Pallas kernel on TPU).
+    idx, bary = jax.vmap(level_index)(inv_scales)                # [L, 4, N] x2
+    per_level = multilevel_table_gather(tables.astype(compute_dtype), idx,
+                                        bary.astype(compute_dtype))  # [L, F, N]
     return per_level.reshape(num_levels * feat_dim, n)
 
 

@@ -1,0 +1,184 @@
+"""Lane-packed feature-table gather with sparse-scatter backward.
+
+THE hot op of the framework: every grid encoding (hash + permutohedral) reduces to
+"gather F features for V vertices per sample from a 2^18-entry table and
+barycentric-weight them". Two XLA-on-TPU facts shape the implementation (measured on
+v5e, see repo history):
+
+  * Gathering rows from a table whose minor dim is the FULL 128 lanes runs at
+    hardware gather speed (~0.1 ms for 2.1M rows from a 2 MB table — the table stays
+    VMEM-resident). Gathering from a [C, 2] table lane-pads it 64x (exceeds VMEM) and
+    falls off a latency cliff (~1000x slower).
+  * Autodiff of a row gather produces a DENSE [N, 128] row scatter-add (25B element
+    adds at production scale); the true gradient is 2 non-zeros per row.
+
+So: tables are reshaped (free, row-major) to [C*F/128, 128]; the forward gathers
+rows and lane-selects on the VPU; a custom VJP scatters exactly V*F non-zeros per
+sample back into the table and routes feature gradients to the barycentric weights
+(which stay on the autodiff tape, so coordinate/pose gradients flow untouched).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+
+
+def _packed_rows(table: jnp.ndarray) -> jnp.ndarray:
+    """[C, F] -> [C*F/128, 128] row-major repack (layout-free reshape)."""
+    c, f = table.shape
+    assert (c * f) % LANES == 0, "table entries*features must fill 128-lane rows"
+    return table.reshape((c * f) // LANES, LANES)
+
+
+def _gather_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather features for vertex indices. table [C, F], idx [V, N] -> [V, F, N]."""
+    c, f = table.shape
+    epr = LANES // f                      # entries per packed row
+    packed = _packed_rows(table)
+    v, n = idx.shape
+    outs = []
+    for vi in range(v):                   # static, small (4 or 8)
+        rows = packed[idx[vi] // epr]                       # [N, 128] hw gather
+        lane0 = (idx[vi] % epr) * f                         # [N]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
+        per_f = []
+        for fi in range(f):
+            sel = (lanes == (lane0 + fi)[:, None])
+            per_f.append(jnp.sum(rows * sel, axis=1))       # [N]
+        outs.append(jnp.stack(per_f))                       # [F, N]
+    return jnp.stack(outs)                                  # [V, F, N]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def table_gather_weighted(table: jnp.ndarray, idx: jnp.ndarray,
+                          bary: jnp.ndarray) -> jnp.ndarray:
+    """out[f, n] = sum_v bary[v, n] * table[idx[v, n], f].
+
+    table [C, F] (differentiable), idx [V, N] int (non-diff), bary [V, N]
+    (differentiable — coordinate/pose gradients flow through it). Returns [F, N].
+    """
+    feats = _gather_feats(table, idx)                       # [V, F, N]
+    return jnp.sum(feats * bary[:, None, :], axis=0)
+
+
+def _fwd(table, idx, bary):
+    return table_gather_weighted(table, idx, bary), (table, idx, bary)
+
+
+def _bwd(res, g):
+    table, idx, bary = res                                  # g [F, N]
+    c, f = table.shape
+    v, n = idx.shape
+    # d table: V*F non-zeros per sample, scattered into the flat [C*F] layout.
+    flat_idx = (idx[:, None, :] * f
+                + jnp.arange(f, dtype=idx.dtype)[None, :, None])   # [V, F, N]
+    vals = bary[:, None, :] * g[None, :, :]                        # [V, F, N]
+    dtable = jnp.zeros((c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
+        vals.reshape(-1)).reshape(c, f)
+    # d bary: re-gather features (cheap — same fast row gather).
+    feats = _gather_feats(table, idx)                              # [V, F, N]
+    dbary = jnp.sum(feats * g[None, :, :], axis=1)                 # [V, N]
+    return dtable.astype(table.dtype), None, dbary.astype(bary.dtype)
+
+
+table_gather_weighted.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-level variant: all levels in one op, Pallas-fused on TPU.
+# ---------------------------------------------------------------------------
+
+def _use_pallas(tables: jnp.ndarray, n: int) -> bool:
+    """Use the Pallas kernel when on TPU and the packed-row count satisfies the
+    hardware gather's shape contract.
+
+    Opt-in via PAGNERF_PALLAS_GATHER=1: the current axon remote-compile toolchain
+    crashes lowering tpu.dynamic_gather for operands larger than one (8, 128) tile
+    (verified empirically — R=8 compiles, R>=64 kills the compile helper), so the
+    default path is the XLA per-level scan, which lowers to the same hardware
+    gather through XLA's own (working) pipeline."""
+    import os
+    if os.environ.get("PAGNERF_PALLAS_GATHER", "0") != "1":
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    c, f = tables.shape[1:]
+    rows = (c * f) // LANES
+    return platform == "tpu" and rows >= 8 and (c * f) % LANES == 0
+
+
+@jax.custom_vjp
+def multilevel_table_gather(tables: jnp.ndarray, idx: jnp.ndarray,
+                            bary: jnp.ndarray) -> jnp.ndarray:
+    """out[l, f, n] = sum_v bary[l, v, n] * tables[l, idx[l, v, n], f].
+
+    tables [L, C, F]; idx [L, V, N] int32; bary [L, V, N]. Returns [L, F, N].
+    On TPU this runs as a single Pallas kernel (ops/pallas_gather.py); elsewhere it
+    falls back to a scan of per-level XLA gathers.
+    """
+    return _ml_forward(tables, idx, bary)
+
+
+def _ml_forward(tables, idx, bary):
+    l, c, f = tables.shape
+    n = idx.shape[2]
+    if _use_pallas(tables, n):
+        from .pallas_gather import multilevel_gather_fwd
+        rows = (c * f) // LANES
+        pad = (-n) % rows
+        if pad:
+            idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
+            bary = jnp.pad(bary, ((0, 0), (0, 0), (0, pad)))
+        packed = tables.reshape(l, rows, LANES)
+        out = multilevel_gather_fwd(packed, idx, bary, f)
+        return out[:, :, :n]
+
+    def body(_, level_in):
+        t, i, b = level_in
+        return None, table_gather_weighted(t, i, b)
+
+    _, out = jax.lax.scan(body, None, (tables, idx, bary))
+    return out
+
+
+def _ml_fwd(tables, idx, bary):
+    return _ml_forward(tables, idx, bary), (tables, idx, bary)
+
+
+def _ml_bwd(res, g):
+    tables, idx, bary = res                       # g [L, F, N]
+    l, c, f = tables.shape
+    v, n = idx.shape[1:]
+    # d tables: sparse scatter of V*F nonzeros per sample per level into [L*C*F].
+    level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
+    flat_idx = (idx[:, :, None, :] * f
+                + jnp.arange(f, dtype=idx.dtype)[None, None, :, None]
+                + level_off)                                       # [L, V, F, N]
+    vals = bary[:, :, None, :] * g[:, None, :, :]                  # [L, V, F, N]
+    dtables = jnp.zeros((l * c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
+        vals.reshape(-1)).reshape(l, c, f)
+    # d bary: re-gather features, dot with g.
+    if _use_pallas(tables, n):
+        from .pallas_gather import multilevel_gather_dbary
+        rows = (c * f) // LANES
+        pad = (-n) % rows
+        gp = jnp.pad(g, ((0, 0), (0, 0), (0, pad))) if pad else g
+        ip = jnp.pad(idx, ((0, 0), (0, 0), (0, pad))) if pad else idx
+        packed = tables.reshape(l, rows, LANES)
+        dbary = multilevel_gather_dbary(packed, ip, gp, f)[:, :, :n]
+    else:
+        def body(_, level_in):
+            t, i, gg = level_in
+            feats = _gather_feats(t, i)                            # [V, F, N]
+            return None, jnp.sum(feats * gg[None], axis=1)         # [V, N]
+        _, dbary = jax.lax.scan(body, None, (tables, idx, g))
+    return dtables.astype(tables.dtype), None, dbary.astype(bary.dtype)
+
+
+multilevel_table_gather.defvjp(_ml_fwd, _ml_bwd)

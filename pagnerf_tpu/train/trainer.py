@@ -249,6 +249,16 @@ class PanopticTrainer:
                         sem_gts.reshape(b, r), self.num_classes)
             total = total + cfg.sem_weight * sloss
             losses["sem_loss"] = sloss
+            if cfg.contrast_sem_weight > 0.0:
+                # contrastive regulariser over semantic probabilities
+                # (reference trainer.py:477-480)
+                closs = sup_contrastive_loss(
+                    (rb.semantics + 1e-27).reshape(b, r, -1),
+                    sem_gts.reshape(b, r), temperature=cfg.inst_temperature,
+                    base_temperature=cfg.base_temperature,
+                    pn_ratio=cfg.inst_pn_ratio)
+                total = total + cfg.contrast_sem_weight * closs
+                losses["contrast_sem_loss"] = closs
 
         if stage.use_inst:
             inst_gts = batch.get("instance_pred", batch["instance"]).reshape(b, r)
@@ -438,9 +448,44 @@ class PanopticTrainer:
         self.training_time += time.time() - t0
         if self.should_prune(epoch):
             self.prune()
+        self.maybe_upsample_tensorf(epoch)
         self.epoch = epoch + 1
         self.log_dict = totals
         return totals
+
+    def maybe_upsample_tensorf(self, epoch: int):
+        """Progressive TensoRF VM-grid resolution steps (reference end_epoch,
+        trainer.py:348-358): every num_epochs // num_resolutions epochs, bilinearly
+        upsample the factor grids toward max_resolution, then re-init the optimizer
+        and re-jit (param shapes changed)."""
+        gc = self.pipeline.nef.grid
+        if gc.grid_type != "TensoRF" or gc.num_resolutions <= 1:
+            return
+        every = max(self.cfg.epochs // gc.num_resolutions, 1)
+        if epoch <= 0 or epoch % every != 0:
+            return
+        from ..models.tensorf import resolution_schedule, upsample_vm_params
+        schedule = resolution_schedule(gc.resolution, gc.max_resolution,
+                                       gc.num_resolutions)
+        bigger = [r for r in schedule if r > self._current_tensorf_res()]
+        if not bigger:
+            return
+        new_res = bigger[0]
+        nef_params = dict(self.params["nef"])
+        nef_params["grid"] = upsample_vm_params(dict(nef_params["grid"]), new_res)
+        self.params = {**self.params, "nef": nef_params}
+        new_grid = dataclasses.replace(gc, resolution=new_res)
+        self.pipeline.nef = self.pipeline.nef.clone(grid=new_grid)
+        self._train_step_cache.clear()
+        self._render_cache = {}
+        self.opt_state = self.tx.init(self.params)
+        log.info("upsampled TensoRF resolution to %d^3", new_res)
+
+    def _current_tensorf_res(self) -> int:
+        try:
+            return int(self.params["nef"]["grid"]["density_plane"].shape[-1])
+        except KeyError:
+            return self.pipeline.nef.grid.resolution
 
     def train(self, on_epoch_end=None):
         for epoch in range(self.epoch, self.cfg.epochs):

@@ -1,0 +1,62 @@
+"""Golden tests for the lane-packed table gather (the encoding hot op)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pagnerf_tpu.ops.table_gather import (multilevel_table_gather,
+                                          table_gather_weighted)
+
+
+def naive(table, idx, bary):
+    feats = table[idx]                       # [V, N, F]
+    return jnp.einsum("vn,vnf->fn", bary, feats)
+
+
+def test_single_level_forward_and_grads():
+    key = jax.random.PRNGKey(0)
+    c, f, v, n = 256, 2, 4, 37
+    table = jax.random.normal(key, (c, f))
+    idx = jax.random.randint(key, (v, n), 0, c)
+    bary = jax.random.uniform(key, (v, n))
+    np.testing.assert_allclose(np.asarray(table_gather_weighted(table, idx, bary)),
+                               np.asarray(naive(table, idx, bary)), atol=1e-5)
+    gt, gb = jax.grad(lambda t, b: jnp.sum(table_gather_weighted(t, idx, b) ** 2),
+                      (0, 1))(table, bary)
+    gt_r, gb_r = jax.grad(lambda t, b: jnp.sum(naive(t, idx, b) ** 2),
+                          (0, 1))(table, bary)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_r), atol=1e-4)
+
+
+def test_multilevel_matches_per_level():
+    key = jax.random.PRNGKey(1)
+    l, c, f, v, n = 3, 128, 2, 8, 29
+    tables = jax.random.normal(key, (l, c, f))
+    idx = jax.random.randint(key, (l, v, n), 0, c)
+    bary = jax.random.uniform(key, (l, v, n))
+    out = multilevel_table_gather(tables, idx, bary)
+    ref = jnp.stack([naive(tables[i], idx[i], bary[i]) for i in range(l)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # grads including duplicate indices (hash collisions must accumulate)
+    idx_dup = idx.at[:, 1].set(idx[:, 0])
+    g = jax.grad(lambda t: jnp.sum(multilevel_table_gather(t, idx_dup, bary)))(tables)
+    g_ref = jax.grad(lambda t: jnp.sum(
+        jnp.stack([naive(t[i], idx_dup[i], bary[i]) for i in range(l)])))(tables)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+def test_bary_grad_flows_to_coords():
+    """Pose/coordinate gradients flow through bary (the custom VJP must not cut the
+    tape above the weights)."""
+    key = jax.random.PRNGKey(2)
+    c, f, v, n = 64, 2, 4, 11
+    table = jax.random.normal(key, (c, f))
+    idx = jax.random.randint(key, (v, n), 0, c)
+
+    def loss(raw):
+        bary = jax.nn.softmax(raw, axis=0)
+        return jnp.sum(table_gather_weighted(table, idx, bary) ** 2)
+
+    raw = jax.random.normal(key, (v, n))
+    g = jax.grad(loss)(raw)
+    assert float(jnp.abs(g).sum()) > 0
