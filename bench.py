@@ -62,17 +62,28 @@ def main():
     batch = ds.sample_batch(rng, batch_size, rays_per_img)
     note(f"setup done: {batch_size}x{rays_per_img} rays x {num_steps} steps")
 
-    # warmup / compile
-    t0 = time.perf_counter()
+    # warmup / compile (axon remote compile can take many minutes for
+    # flagship-scale grad programs; run under a wall-clock budget and report
+    # whatever completes)
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    start = time.perf_counter()
     losses = trainer.train_step(stage, batch)
     jax.block_until_ready(trainer.params)
-    note(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    note(f"compile+first step: {time.perf_counter() - start:.1f}s")
 
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    max_iters = int(os.environ.get("BENCH_ITERS", 5))
     t0 = time.perf_counter()
-    for _ in range(iters):
+    iters = 0
+    while iters < max_iters:
         losses = trainer.train_step(stage, batch)
-    jax.block_until_ready(trainer.params)
+        jax.block_until_ready(trainer.params)
+        iters += 1
+        # print an evolving loss so throughput claims are backed by real training
+        # progress (guards against runtime-level result caching)
+        note(f"step {iters}: cumulative {time.perf_counter() - t0:.1f}s "
+             f"rgb_loss {float(losses.get('rgb_loss', 0.0)):.5f}")
+        if time.perf_counter() - start > budget and iters >= 1:
+            break
     dt = time.perf_counter() - t0
 
     rays_per_step = batch_size * rays_per_img
@@ -82,7 +93,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

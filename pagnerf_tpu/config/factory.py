@@ -168,6 +168,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         num_val_frames_to_save=max(args.num_val_frames_to_save, 1),
         render_val_labels=args.render_val_labels,
         save_preds=args.save_preds,
+        save_grid=args.save_grid,
         num_clustering_samples=args.num_clustering_samples or 20000,
         low_res_val=args.low_res_val,
     )

@@ -69,6 +69,10 @@ class TracerConfig:
     # program flat (scan+remat nests compile pathologically slowly on the current
     # TPU toolchain); enable for single-shot renders that exceed HBM.
     ray_chunk: int = 0
+    # Per-ray sample compaction (ops/raymarch.py compact_samples): evaluate the NeF
+    # on at most this many valid samples per ray. 0 disables. The trainer enables
+    # this after the prune epoch, when occupancy is sparse.
+    compact_steps: int = 0
 
     @property
     def is_dd(self) -> bool:
@@ -152,6 +156,9 @@ def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfi
     num_rays = rays.origins.shape[0]
     rm = raymarch(rays, occ, cfg.num_steps, cfg.raymarch_type,
                   cfg.ray_max_travel, key=key)
+    if cfg.compact_steps:
+        from ..ops.raymarch import compact_samples
+        rm = compact_samples(rm, cfg.compact_steps)
     r, s = rm.depths.shape
 
     # feature-major samples: [3, R*S] (see RaymarchResult layout note)

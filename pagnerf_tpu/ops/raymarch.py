@@ -127,3 +127,28 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
 
     return RaymarchResult(positionsT=positionsT, depths=depths, deltas=deltas,
                           mask=mask)
+
+
+def compact_samples(rm: RaymarchResult, keep_steps: int) -> RaymarchResult:
+    """Per-ray sample compaction: stable-sort each ray's samples valid-first (depth
+    order preserved among the valid) and truncate to ``keep_steps``.
+
+    The TPU equivalent of the reference's packed layout benefit (kaolin raymarch
+    emits only occupied samples): after the prune epoch most of the dense [R, S]
+    grid is masked, so the NeF evaluates keep_steps/S of the samples. Rays with more
+    than ``keep_steps`` occupied samples lose their deepest ones (same spirit as the
+    ray_max_travel cutoff). A single multi-operand sort keeps everything aligned; no
+    scatter-back is needed because per-ray ordering survives."""
+    if keep_steps <= 0 or keep_steps >= rm.depths.shape[-1]:
+        return rm
+    key = (~rm.mask).astype(jnp.int32)                    # valid first, stable
+    sorted_ops = jax.lax.sort(
+        (key, rm.depths, rm.deltas, rm.positionsT[0], rm.positionsT[1],
+         rm.positionsT[2]),
+        dimension=-1, num_keys=1, is_stable=True)
+    key_s, depths, deltas, x, y, z = sorted_ops
+    sl = slice(0, keep_steps)
+    return RaymarchResult(
+        positionsT=jnp.stack([x[:, sl], y[:, sl], z[:, sl]]),
+        depths=depths[:, sl], deltas=deltas[:, sl],
+        mask=key_s[:, sl] == 0)

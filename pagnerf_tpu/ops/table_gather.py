@@ -43,6 +43,9 @@ def _gather_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     outs = []
     for vi in range(v):                   # static, small (4 or 8)
         rows = packed[idx[vi] // epr]                       # [N, 128] hw gather
+        # keep the row gather a standalone hardware gather: fused into the select
+        # loop it degrades to element-at-a-time addressing
+        rows = jax.lax.optimization_barrier(rows)
         lane0 = (idx[vi] % epr) * f                         # [N]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
         per_f = []

@@ -94,6 +94,10 @@ class TrainerConfig:
     lod_annel_epochs: int = 400
     lod_annel_epoch_start: int = 0
 
+    # Per-ray sample compaction once occupancy is sparse (after the first prune):
+    # -1 = auto (num_steps // 4), 0 = disabled (see TracerConfig.compact_steps).
+    compact_steps_after_prune: int = -1
+
     # Gradient accumulation: the step is compiled per image-microbatch and grads are
     # accumulated across microbatches. Bounds peak HBM to one microbatch's
     # activations with a simple (non-nested) program structure; per-image losses
@@ -108,6 +112,7 @@ class TrainerConfig:
     num_val_frames_to_save: int = 1
     render_val_labels: bool = True
     save_preds: bool = False
+    save_grid: bool = False
     num_clustering_samples: int = 20000
     low_res_val: bool = False
     seed: int = 0
@@ -120,6 +125,7 @@ class StageConfig:
     channels: frozenset
     raymarch_type: str
     num_steps: int
+    compact_steps: int
     use_sem: bool
     use_inst: bool
     use_inst_segment_reg: bool
@@ -189,12 +195,21 @@ class PanopticTrainer:
             channels.add("depth")
         voxel = epoch > cfg.voxel_raymarch_epoch_start
         base = self.pipeline.tracer_cfg
+        num_steps = cfg.samples_per_voxel * 128 if voxel else base.num_steps
+        compact = 0
+        if getattr(self, "_pruned", False) and cfg.compact_steps_after_prune != 0:
+            compact = (cfg.compact_steps_after_prune
+                       if cfg.compact_steps_after_prune > 0 else num_steps // 4)
         return StageConfig(
             channels=frozenset(channels),
             raymarch_type="voxel" if voxel else base.raymarch_type,
-            num_steps=cfg.samples_per_voxel * 128 if voxel else base.num_steps,
+            num_steps=num_steps,
+            compact_steps=compact,
             use_sem=use_sem,
             use_inst=use_inst,
+            # NOTE: the threshold is the WEIGHT, reproducing a reference quirk:
+            # trainer.py:93 assigns inst_segment_reg_weight to
+            # inst_segment_reg_epoch_start, so the reg activates at epoch > weight.
             use_inst_segment_reg=(cfg.inst_segment_reg_weight > 0
                                   and epoch > cfg.inst_segment_reg_weight),
             training_val_poses=training_val_poses,
@@ -208,7 +223,8 @@ class PanopticTrainer:
         cfg = self.cfg
         tracer_cfg = dataclasses.replace(self.pipeline.tracer_cfg,
                                          raymarch_type=stage.raymarch_type,
-                                         num_steps=stage.num_steps)
+                                         num_steps=stage.num_steps,
+                                         compact_steps=stage.compact_steps)
         b, r = batch["imgs"].shape[:2]
         base_rays = Rays(origins=batch["base_rays_origins"],
                          dirs=batch["base_rays_dirs"],
@@ -414,6 +430,7 @@ class PanopticTrainer:
             dens.append(density_at(self.params, centers[i:i + chunk]))
         density = jnp.concatenate(dens)
         self.occ = self.occ.update_from_density(density)
+        self._pruned = True   # enables post-prune sample compaction in new stages
         # optimizer re-init after topology change (trainer.py:357-358)
         self.opt_state = self.tx.init(self.params)
         occ_frac = float(self.occ.mask.mean())

@@ -231,6 +231,14 @@ def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None) -> Dict[str
     if getattr(trainer.pipeline.nef, "use_clustering", False) and \
             epoch >= trainer.cfg.inst_epoch_start:
         clustering = train_clustering(trainer, trainer.cfg.num_clustering_samples)
+    if log_dir and getattr(trainer.cfg, "save_grid", False):
+        # occupancy/grid snapshot (kaolin Timelapse stand-in, trainer.py:208-209)
+        gp = os.path.join(log_dir, "grid")
+        os.makedirs(gp, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(gp, f"occupancy_epoch{epoch}.npz"),
+            occupancy=np.asarray(trainer.occ.occupancy),
+            mask=np.asarray(trainer.occ.mask), level=trainer.occ.level)
     mip = trainer.cfg.val_mip
     # full-res final validation unless low_res_val (trainer.py:972-976)
     if epoch >= trainer.cfg.epochs and not trainer.cfg.low_res_val:

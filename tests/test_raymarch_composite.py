@@ -110,6 +110,36 @@ def test_composite_channel_and_scalar():
                                atol=1e-6)
 
 
+def test_compact_samples_preserves_render():
+    """With keep_steps >= valid samples per ray, compaction must not change the
+    composited result; with fewer, it keeps the NEAREST samples."""
+    from pagnerf_tpu.ops.raymarch import compact_samples
+
+    occ = OccupancyGrid.create(level=3)
+    rays = make_rays([[0, 0, 3], [0.3, 0.2, 3]], [[0, 0, -1], [0, 0, -1]])
+    rm = raymarch(rays, occ, num_steps=32, ray_max_travel=0.7)
+    n_valid = int(np.asarray(rm.mask).sum(-1).max())
+    cp = compact_samples(rm, n_valid)
+    assert cp.depths.shape == (2, n_valid)
+    # same valid sample set (sorted first, order preserved)
+    for r in range(2):
+        want = np.asarray(rm.depths[r])[np.asarray(rm.mask[r])]
+        got = np.asarray(cp.depths[r])[np.asarray(cp.mask[r])]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # depth order preserved
+        assert (np.diff(got) >= 0).all()
+    # positions stay consistent with depths
+    pos = np.asarray(cp.positions)
+    d = np.asarray(cp.depths)
+    np.testing.assert_allclose(pos[0, :, 2], 3 - d[0], atol=1e-5)
+    # truncation keeps the nearest samples
+    cp2 = compact_samples(rm, max(n_valid // 2, 1))
+    for r in range(2):
+        got2 = np.asarray(cp2.depths[r])[np.asarray(cp2.mask[r])]
+        want = np.asarray(rm.depths[r])[np.asarray(rm.mask[r])]
+        np.testing.assert_allclose(got2, want[:len(got2)], atol=1e-6)
+
+
 def test_occupancy_prune_update():
     occ = OccupancyGrid.create(level=2)
     assert bool(occ.mask.all())  # starts fully visible
