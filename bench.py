@@ -65,7 +65,7 @@ def main():
     # warmup / compile (axon remote compile can take many minutes for
     # flagship-scale grad programs; run under a wall-clock budget and report
     # whatever completes)
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1800))
     start = time.perf_counter()
     losses = trainer.train_step(stage, batch)
     jax.block_until_ready(trainer.params)

@@ -171,6 +171,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         save_grid=args.save_grid,
         num_clustering_samples=args.num_clustering_samples or 20000,
         low_res_val=args.low_res_val,
+        random_lod=args.random_lod,
     )
     opt_cfg = OptimizerConfig(
         optimizer_type=args.optimizer_type, lr=args.lr,

@@ -69,23 +69,26 @@ def table_gather_weighted(table: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _fwd(table, idx, bary):
-    return table_gather_weighted(table, idx, bary), (table, idx, bary)
+    # Save the gathered features as residuals: the backward then needs ZERO table
+    # reads (re-gathering would repeat the most expensive op of the model).
+    feats = _gather_feats(table, idx)                       # [V, F, N]
+    out = jnp.sum(feats * bary[:, None, :], axis=0)
+    return out, (feats, idx, bary, jax.ShapeDtypeStruct(table.shape, table.dtype))
 
 
 def _bwd(res, g):
-    table, idx, bary = res                                  # g [F, N]
-    c, f = table.shape
-    v, n = idx.shape
+    feats, idx, bary, tspec = res                           # g [F, N]
+    c, f = tspec.shape
+    tdtype = tspec.dtype
     # d table: V*F non-zeros per sample, scattered into the flat [C*F] layout.
     flat_idx = (idx[:, None, :] * f
                 + jnp.arange(f, dtype=idx.dtype)[None, :, None])   # [V, F, N]
     vals = bary[:, None, :] * g[None, :, :]                        # [V, F, N]
     dtable = jnp.zeros((c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
         vals.reshape(-1)).reshape(c, f)
-    # d bary: re-gather features (cheap — same fast row gather).
-    feats = _gather_feats(table, idx)                              # [V, F, N]
-    dbary = jnp.sum(feats * g[None, :, :], axis=1)                 # [V, N]
-    return dtable.astype(table.dtype), None, dbary.astype(bary.dtype)
+    # d bary from the saved forward features.
+    dbary = jnp.sum(feats.astype(g.dtype) * g[None, :, :], axis=1)  # [V, N]
+    return dtable.astype(tdtype), None, dbary.astype(bary.dtype)
 
 
 table_gather_weighted.defvjp(_fwd, _bwd)
@@ -151,12 +154,24 @@ def _ml_forward(tables, idx, bary):
 
 
 def _ml_fwd(tables, idx, bary):
-    return _ml_forward(tables, idx, bary), (tables, idx, bary)
+    l = tables.shape[0]
+    n = idx.shape[2]
+    if _use_pallas(tables, n):
+        # Pallas path re-gathers in bwd (kernel keeps everything in VMEM anyway).
+        return _ml_forward(tables, idx, bary), (None, tables, idx, bary)
+    # XLA path: save forward features so the backward does ZERO table reads.
+    def body(_, level_in):
+        t, i = level_in
+        return None, _gather_feats(t, i)                  # [V, F, N]
+    _, feats = jax.lax.scan(body, None, (tables, idx))    # [L, V, F, N]
+    out = jnp.sum(feats * bary[:, :, None, :], axis=1)    # [L, F, N]
+    return out, (feats, jax.ShapeDtypeStruct(tables.shape, tables.dtype), idx, bary)
 
 
 def _ml_bwd(res, g):
-    tables, idx, bary = res                       # g [L, F, N]
-    l, c, f = tables.shape
+    feats, tables_or_spec, idx, bary = res        # g [L, F, N]
+    l, c, f = tables_or_spec.shape
+    tdtype = tables_or_spec.dtype
     v, n = idx.shape[1:]
     # d tables: sparse scatter of V*F nonzeros per sample per level into [L*C*F].
     level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
@@ -166,9 +181,9 @@ def _ml_bwd(res, g):
     vals = bary[:, :, None, :] * g[:, None, :, :]                  # [L, V, F, N]
     dtables = jnp.zeros((l * c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
         vals.reshape(-1)).reshape(l, c, f)
-    # d bary: re-gather features, dot with g.
-    if _use_pallas(tables, n):
+    if feats is None:
         from .pallas_gather import multilevel_gather_dbary
+        tables = tables_or_spec
         rows = (c * f) // LANES
         pad = (-n) % rows
         gp = jnp.pad(g, ((0, 0), (0, 0), (0, pad))) if pad else g
@@ -176,12 +191,8 @@ def _ml_bwd(res, g):
         packed = tables.reshape(l, rows, LANES)
         dbary = multilevel_gather_dbary(packed, ip, gp, f)[:, :, :n]
     else:
-        def body(_, level_in):
-            t, i, gg = level_in
-            feats = _gather_feats(t, i)                            # [V, F, N]
-            return None, jnp.sum(feats * gg[None], axis=1)         # [V, N]
-        _, dbary = jax.lax.scan(body, None, (tables, idx, g))
-    return dtables.astype(tables.dtype), None, dbary.astype(bary.dtype)
+        dbary = jnp.sum(feats.astype(g.dtype) * g[:, None, :, :], axis=2)  # [L,V,N]
+    return dtables.astype(tdtype), None, dbary.astype(bary.dtype)
 
 
 multilevel_table_gather.defvjp(_ml_fwd, _ml_bwd)

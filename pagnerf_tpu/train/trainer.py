@@ -98,6 +98,11 @@ class TrainerConfig:
     # -1 = auto (num_steps // 4), 0 = disabled (see TracerConfig.compact_steps).
     compact_steps_after_prune: int = -1
 
+    # wisp-stock multi-LoD training: zero the feature weights of levels above a
+    # random cutoff each step (reference --random-lod flag). Implemented through the
+    # lod_weights input, so it never retraces.
+    random_lod: bool = False
+
     # Gradient accumulation: the step is compiled per image-microbatch and grads are
     # accumulated across microbatches. Bounds peak HBM to one microbatch's
     # activations with a simple (non-nested) program structure; per-image losses
@@ -454,7 +459,13 @@ class PanopticTrainer:
         split = "val" if stage.training_val_poses else "train"
         totals: Dict[str, float] = {}
         t0 = time.time()
+        nef = self.pipeline.nef
         for _ in range(self.steps_per_epoch):
+            if cfg.random_lod:
+                cut = int(self.rng.integers(1, nef.grid.num_lods + 1))
+                w = np.zeros(nef.grid.num_lods, np.float32)
+                w[:cut] = 1.0
+                self.lod_w = jnp.asarray(np.repeat(w, nef.grid.feature_dim))
             batch = self.dataset.sample_batch(self.rng, cfg.batch_size,
                                               cfg.num_rays_sampled_per_img, split)
             losses = self.train_step(stage, batch)
