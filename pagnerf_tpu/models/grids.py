@@ -117,6 +117,56 @@ class TriplanarGrid(nn.Module):
         return jnp.concatenate(outs, axis=0)                      # [L*F, N]
 
 
+class DenseGrid(nn.Module):
+    """Multi-LoD dense feature volumes with trilinear interpolation — the TPU
+    equivalent of wisp's ``OctreeGrid`` (registry option at panoptic_nef.py:166-167).
+    A dense [res^3, F] table per level replaces the sparse octree: on TPU a dense
+    table is directly indexable (no pointer chasing) and pruning is handled by the
+    external occupancy grid rather than grid topology. Resolutions double per level
+    from ``base_lod``; lookups reuse the lane-packed weighted gather with DIRECT
+    (non-hashed) flat cell indices."""
+
+    num_lods: int = 4
+    feature_dim: int = 4
+    base_lod: int = 4
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_lods * self.feature_dim
+
+    @nn.compact
+    def __call__(self, coordsT: jnp.ndarray) -> jnp.ndarray:
+        import numpy as np
+
+        from ..ops.hash_encoding import _CORNERS
+        from ..ops.table_gather import table_gather_weighted
+        cornersT = jnp.asarray(_CORNERS.T)                     # [3, 8]
+        outs = []
+        for lod in range(self.num_lods):
+            res = 1 << (self.base_lod + lod)
+            # pad entry count so the packed-gather's 128-lane rows divide evenly
+            epr = max(128 // self.feature_dim, 1)
+            n_entries = -(-((res + 1) ** 3) // epr) * epr
+            table = self.param(
+                f"table_{lod}",
+                lambda k, ne=n_entries: nn.initializers.uniform(scale=1e-4)(
+                    k, (ne, self.feature_dim)))
+            cell = (jnp.clip(coordsT, -1, 1) + 1.0) * (res / 2.0)   # [3, N]
+            bl = jnp.floor(cell)
+            frac = cell - bl                                        # [3, N]
+            corners = bl.astype(jnp.int32)[:, None, :] + cornersT[:, :, None]
+            corners = jnp.clip(corners, 0, res)                     # [3, 8, N]
+            idx = ((corners[0] * (res + 1)) + corners[1]) * (res + 1) + corners[2]
+            w = jnp.where(cornersT[:, :, None].astype(bool),
+                          frac[:, None, :], 1.0 - frac[:, None, :])
+            w = w[0] * w[1] * w[2]                                  # [8, N]
+            outs.append(table_gather_weighted(
+                table.astype(self.compute_dtype), idx,
+                w.astype(self.compute_dtype)))                      # [F, N]
+        return jnp.concatenate(outs, axis=0)
+
+
 def build_grid(grid_type: str, **kwargs) -> nn.Module:
     """String->grid factory, mirroring the reference registry
     (pc_nerf/panoptic_nef.py:165-182). The three reference hash-grid aliases map onto
@@ -129,6 +179,12 @@ def build_grid(grid_type: str, **kwargs) -> nn.Module:
         "HashGridTinyCudaNN": HashGrid,
         "TriplanarGrid": TriplanarGrid,
         "TensoRF": TensoRFGrid,
+        # wisp's octree grids map onto dense/hashed TPU equivalents: the sparse
+        # octree's role (occupancy) lives in ops/occupancy.py, so the feature
+        # structure is a dense multi-LoD volume (OctreeGrid) or its hashed
+        # counterpart (CodebookOctreeGrid).
+        "OctreeGrid": DenseGrid,
+        "CodebookOctreeGrid": HashGrid,
     }
     if grid_type not in table:
         raise NotImplementedError(f"grid type '{grid_type}' not supported")

@@ -42,9 +42,11 @@ def _gather_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     v, n = idx.shape
     outs = []
     for vi in range(v):                   # static, small (4 or 8)
-        rows = packed[idx[vi] // epr]                       # [N, 128] hw gather
-        # keep the row gather a standalone hardware gather: fused into the select
-        # loop it degrades to element-at-a-time addressing
+        # promise_in_bounds skips the bounds-check select (indices are hash-masked
+        # so always in range); keep the gather standalone via the barrier — fused
+        # into the select loop it degrades to element-at-a-time addressing
+        rows = packed.at[idx[vi] // epr].get(
+            mode="promise_in_bounds")                       # [N, 128] hw gather
         rows = jax.lax.optimization_barrier(rows)
         lane0 = (idx[vi] % epr) * f                         # [N]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
