@@ -185,4 +185,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         num_epochs=args.epochs,
     )
     trainer = PanopticTrainer(pipeline, dataset, trainer_cfg, opt_cfg)
+    # --perf activates the phase timer the trainer threads through its loop
+    # (reference PerfTimer + --perf flag, config_parser.py:56, trainer.py:393)
+    trainer.timer.activate = bool(getattr(args, "perf", False))
     return pipeline, dataset, trainer

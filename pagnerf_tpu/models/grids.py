@@ -185,6 +185,10 @@ def build_grid(grid_type: str, **kwargs) -> nn.Module:
         # counterpart (CodebookOctreeGrid).
         "OctreeGrid": DenseGrid,
         "CodebookOctreeGrid": HashGrid,
+        # featureless BLAS-only grid (reference grids/occtree.py): its occupancy
+        # role lives in ops/occupancy.py; a minimal dense grid keeps the NeF
+        # interpolate protocol satisfied for configs that select it.
+        "Occtree": DenseGrid,
     }
     if grid_type not in table:
         raise NotImplementedError(f"grid type '{grid_type}' not supported")

@@ -165,6 +165,10 @@ class PanopticTrainer:
         self.epoch = 0
         self.global_step = 0
         self.training_time = 0.0
+        # inactive by default, as the reference threads it (pc_nerf/trainer.py:393);
+        # activated by the --perf flag via the factory
+        from ..utils.logging_utils import PerfTimer
+        self.timer = PerfTimer(activate=False)
         self.log_dict: Dict[str, float] = {}
         self._step_key = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -466,11 +470,15 @@ class PanopticTrainer:
                 w = np.zeros(nef.grid.num_lods, np.float32)
                 w[:cut] = 1.0
                 self.lod_w = jnp.asarray(np.repeat(w, nef.grid.feature_dim))
+            self.timer.reset()
             batch = self.dataset.sample_batch(self.rng, cfg.batch_size,
                                               cfg.num_rays_sampled_per_img, split)
-            losses = self.train_step(stage, batch)
+            self.timer.check("data_sample")
+            losses = {k: float(v)
+                      for k, v in self.train_step(stage, batch).items()}
+            self.timer.check("train_step")   # float() above synced the device
             for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = totals.get(k, 0.0) + v
         for k in totals:
             totals[k] /= self.steps_per_epoch
         self.training_time += time.time() - t0

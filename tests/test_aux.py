@@ -148,3 +148,18 @@ def test_validation_media_saved(tmp_path):
     media = tmp_path / "val" / "epoch_0"
     assert (media / "rgb.mp4").exists() or any(media.glob("rgb_*.png"))
     assert (tmp_path / "metrics.csv").exists()
+
+
+def test_perf_flag_activates_trainer_timer():
+    # --perf threads an active PerfTimer through the trainer loop (reference
+    # config_parser.py:56 + PerfTimer at pc_nerf/trainer.py:393)
+    from pagnerf_tpu.config.config import parse_options
+    from pagnerf_tpu.config.factory import get_modules_from_config
+    shrink = ["--multiview-dataset-format", "synthetic", "--capacity-log-2", "8",
+              "--delta-capacity-log-2", "8", "--hidden-dim", "8",
+              "--num-steps", "4", "--epochs", "1", "--batch-size", "2",
+              "--num-rays-sampled-per-img", "8"]
+    _, _, tr = get_modules_from_config(parse_options(shrink + ["--perf"]))
+    assert tr.timer.activate is True
+    _, _, tr = get_modules_from_config(parse_options(shrink))
+    assert tr.timer.activate is False
