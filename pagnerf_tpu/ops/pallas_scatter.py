@@ -1,0 +1,202 @@
+"""Scatter-add on the MXU: duplicate-index row accumulation as one-hot matmuls.
+
+The table-gradient scatter (ops/table_gather.py backward) is the hot op XLA executes
+on its element-addressed path (~100-130M element-ops/s measured end-to-end on v5e —
+see PERFORMANCE.md). This kernel reformulates the scatter
+
+    dpacked[r, c] += sum_m 1{row[m] == r} * vals[m, c]
+
+as a sum of one-hot matmuls: for each chunk of M events, build the one-hot matrix
+``oh[mb, RB] = (row == block_rows)`` in VMEM (iota + compare — nothing here touches
+the toolchain-blocked ``tpu.dynamic_gather``) and accumulate ``oh^T @ vals`` into the
+output row-block on the MXU. Exactly reproduces the duplicate-index sum.
+
+Cost model: M x R x 128 x 2 FLOPs (R = packed rows). For the flagship encodings
+(R=4096, M=V*N per level) this trades ~9 TFLOP/level/microbatch on the MXU against
+the element-addressed path — see PERFORMANCE.md round-2 notes for the accounting.
+
+The reference has no analogue (CUDA atomics do this in permutohedral_encoding's
+backward); this is the TPU-native equivalent of its scatter-add.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _scatter_kernel(row_ref, vals_ref, out_ref):
+    """Grid (num_row_blocks, num_event_chunks); out block [RB, 128] revisited
+    across the event axis (index_map independent of the chunk dim)."""
+    rb = pl.program_id(0)
+    mc = pl.program_id(1)
+
+    @pl.when(mc == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = row_ref[:]                                   # [MB, 1] int32
+    mb = rows.shape[0]
+    rblock = out_ref.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mb, rblock), 1) + rb * rblock
+    oh = (rows == cols).astype(jnp.bfloat16)            # [MB, RB] one-hot
+    # oh^T @ vals on the MXU; accumulate in f32
+    out_ref[:] += jax.lax.dot_general(
+        oh, vals_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _scatter_kernel_resident(row_ref, vals_ref, out_ref):
+    """Single event-chunk grid; the WHOLE output table stays VMEM-resident
+    (R*128*4 bytes — 2 MB for the flagship tables), so events stream through HBM
+    exactly once and every chunk issues one large [R, MB] @ [MB, 128] dot."""
+    mc = pl.program_id(0)
+
+    @pl.when(mc == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = row_ref[:]                                   # [MB, 1] int32
+    mb = rows.shape[0]
+    r = out_ref.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mb, r), 1)
+    oh = (rows == cols).astype(jnp.bfloat16)            # [MB, R] one-hot
+    out_ref[:] += jax.lax.dot_general(
+        oh, vals_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows", "row_block",
+                                             "event_chunk", "interpret"))
+def scatter_rows_matmul(row: jnp.ndarray, vals: jnp.ndarray, num_rows: int,
+                        row_block: int = 512, event_chunk: int = 1024,
+                        interpret: bool = False) -> jnp.ndarray:
+    """sum-scatter ``vals`` [M, 128] into rows ``row`` [M] of a [num_rows, 128]
+    f32 output (duplicates accumulate). Out-of-range rows (e.g. -1 padding) are
+    dropped by the one-hot construction."""
+    m = row.shape[0]
+    assert vals.shape == (m, LANES)
+    row_block = min(row_block, num_rows)
+    assert num_rows % row_block == 0
+    pad = (-m) % event_chunk
+    if pad:
+        row = jnp.pad(row, (0, pad), constant_values=-1)
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+        m += pad
+
+    # resident variant: whole table + one event chunk's one-hot fit in VMEM
+    # (~16 MB): stream events once, biggest possible dots
+    resident_bytes = num_rows * LANES * 4 + event_chunk * (num_rows * 2 + 512)
+    if resident_bytes < 12 * 2 ** 20:
+        return pl.pallas_call(
+            _scatter_kernel_resident,
+            grid=(m // event_chunk,),
+            in_specs=[
+                pl.BlockSpec((event_chunk, 1), lambda mc: (mc, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((event_chunk, LANES), lambda mc: (mc, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((num_rows, LANES), lambda mc: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_rows, LANES), jnp.float32),
+            interpret=interpret,
+        )(row.reshape(m, 1).astype(jnp.int32), vals)
+
+    grid = (num_rows // row_block, m // event_chunk)
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((event_chunk, 1), lambda rb, mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((event_chunk, LANES), lambda rb, mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_block, LANES), lambda rb, mc: (rb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(row.reshape(m, 1).astype(jnp.int32), vals)
+
+
+def _table_grad_kernel(row_ref, lane0_ref, bg_ref, out_ref):
+    """Fused per-chunk table-gradient scatter: lane-spread the compact [MB, F]
+    value block in VMEM (never materialising [M, 128] values to HBM), then one
+    [R, MB] @ [MB, 128] MXU dot accumulated into the VMEM-resident table."""
+    mc = pl.program_id(0)
+
+    @pl.when(mc == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = row_ref[:]                                    # [MB, 1] int32
+    lane0 = lane0_ref[:]                                 # [MB, 1] int32
+    bg = bg_ref[:]                                       # [MB, F]
+    mb, f = bg.shape
+    r = out_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (mb, LANES), 1)
+    vals = jnp.zeros((mb, LANES), jnp.bfloat16)
+    for fi in range(f):                                  # static, F is 2 or 4
+        sel = lanes == (lane0 + fi)
+        vals = vals + sel.astype(jnp.bfloat16) * bg[:, fi:fi + 1].astype(jnp.bfloat16)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mb, r), 1)
+    oh = (rows == cols).astype(jnp.bfloat16)             # [MB, R]
+    out_ref[:] += jax.lax.dot_general(
+        oh, vals, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
+                      capacity: int, feature_dim: int,
+                      event_chunk: int = 1024,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Per-level table gradient via the fused MXU scatter.
+
+    idx [V, N] table entries; bary [V, N]; g [F, N] output cotangent.
+    Returns dtable [C, F] f32 = scatter of bary[v,n]*g[f,n] at (idx[v,n], f).
+
+    HBM traffic is ~(2 ints + F floats) per event; the [M, 128] lane-spread and
+    the [M, R] one-hot exist only as per-chunk VMEM tiles.
+    """
+    v, n = idx.shape
+    f = feature_dim
+    epr = LANES // f
+    rows = (capacity * f) // LANES
+    row_idx = (idx // epr).reshape(-1)                        # [M]
+    lane0 = ((idx % epr) * f).reshape(-1)                     # [M]
+    bg = (bary[:, None, :] * g[None, :, :]).transpose(0, 2, 1).reshape(-1, f)
+
+    m = row_idx.shape[0]
+    pad = (-m) % event_chunk
+    if pad:
+        row_idx = jnp.pad(row_idx, (0, pad), constant_values=-1)
+        lane0 = jnp.pad(lane0, (0, pad))
+        bg = jnp.pad(bg, ((0, pad), (0, 0)))
+        m += pad
+
+    dpacked = pl.pallas_call(
+        _table_grad_kernel,
+        grid=(m // event_chunk,),
+        in_specs=[
+            pl.BlockSpec((event_chunk, 1), lambda mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((event_chunk, 1), lambda mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((event_chunk, f), lambda mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), lambda mc: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(row_idx.reshape(m, 1).astype(jnp.int32),
+      lane0.reshape(m, 1).astype(jnp.int32), bg)
+    return dpacked.reshape(capacity, f)

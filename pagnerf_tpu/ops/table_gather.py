@@ -170,19 +170,47 @@ def _ml_fwd(tables, idx, bary):
     return out, (feats, jax.ShapeDtypeStruct(tables.shape, tables.dtype), idx, bary)
 
 
+def _use_mxu_scatter(c: int, f: int) -> bool:
+    """MXU scatter for the table gradients — default ON for TPU (opt out with
+    PAGNERF_MXU_SCATTER=0): the one-hot-matmul kernel (ops/pallas_scatter.py)
+    takes the flagship train step from 349.5 to 539.9 rays/s (1.54x) with an
+    identical loss trajectory (bf16-multiply grads; measured on v5e, see
+    PERFORMANCE.md)."""
+    import os
+    if os.environ.get("PAGNERF_MXU_SCATTER", "1") != "1":
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    # whole packed table + a chunk's one-hot must fit VMEM (~16 MB)
+    rows = (c * f) // LANES
+    return (platform == "tpu" and (c * f) % LANES == 0
+            and rows * LANES * 4 + 1024 * (rows * 2 + 512) < 12 * 2 ** 20)
+
+
 def _ml_bwd(res, g):
     feats, tables_or_spec, idx, bary = res        # g [L, F, N]
     l, c, f = tables_or_spec.shape
     tdtype = tables_or_spec.dtype
     v, n = idx.shape[1:]
-    # d tables: sparse scatter of V*F nonzeros per sample per level into [L*C*F].
-    level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
-    flat_idx = (idx[:, :, None, :] * f
-                + jnp.arange(f, dtype=idx.dtype)[None, None, :, None]
-                + level_off)                                       # [L, V, F, N]
-    vals = bary[:, :, None, :] * g[:, None, :, :]                  # [L, V, F, N]
-    dtables = jnp.zeros((l * c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
-        vals.reshape(-1)).reshape(l, c, f)
+    if _use_mxu_scatter(c, f):
+        from .pallas_scatter import table_grad_matmul
+
+        def body(_, level_in):
+            i_l, b_l, g_l = level_in
+            return None, table_grad_matmul(i_l, b_l, g_l, c, f)
+
+        _, dtables = jax.lax.scan(body, None, (idx, bary, g))
+    else:
+        # d tables: sparse scatter of V*F nonzeros per sample per level, [L*C*F].
+        level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
+        flat_idx = (idx[:, :, None, :] * f
+                    + jnp.arange(f, dtype=idx.dtype)[None, None, :, None]
+                    + level_off)                                   # [L, V, F, N]
+        vals = bary[:, :, None, :] * g[:, None, :, :]              # [L, V, F, N]
+        dtables = jnp.zeros((l * c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
+            vals.reshape(-1)).reshape(l, c, f)
     if feats is None:
         from .pallas_gather import multilevel_gather_dbary
         tables = tables_or_spec

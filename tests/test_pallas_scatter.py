@@ -1,0 +1,49 @@
+"""MXU scatter-as-matmul kernel tests (interpret mode on CPU): equivalence to
+bf16-multiply precision (the kernel casts operands to bf16 for the MXU, f32 accum)
+with the duplicate-index scatter-add it replaces (table-gather backward,
+ops/table_gather.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pagnerf_tpu.ops.pallas_scatter import scatter_rows_matmul, table_grad_matmul
+
+
+def test_scatter_matches_at_add():
+    rng = np.random.default_rng(0)
+    m, rows = 3000, 512
+    row = rng.integers(0, rows, m).astype(np.int32)
+    vals = rng.standard_normal((m, 128)).astype(np.float32)
+    out = scatter_rows_matmul(jnp.asarray(row), jnp.asarray(vals), rows,
+                              row_block=128, event_chunk=512, interpret=True)
+    ref = jnp.zeros((rows, 128), jnp.float32).at[row].add(vals)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_scatter_drops_padding_rows():
+    row = jnp.asarray([-1, 3, 3, -1], jnp.int32)
+    vals = jnp.ones((4, 128), jnp.float32)
+    out = scatter_rows_matmul(row, vals, 128, row_block=128, event_chunk=4,
+                              interpret=True)
+    assert float(out[3, 0]) == 2.0
+    assert float(out.sum()) == 2.0 * 128
+
+
+def test_table_grad_matches_autodiff_scatter():
+    rng = np.random.default_rng(1)
+    capacity, f, v, n = 1024, 2, 4, 500
+    idx = jnp.asarray(rng.integers(0, capacity, (v, n)), jnp.int32)
+    bary = jnp.asarray(rng.random((v, n)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+
+    dtable = table_grad_matmul(idx, bary, g, capacity, f, interpret=True)
+
+    # reference: the exact scatter from table_gather's backward
+    flat_idx = (idx[:, None, :] * f
+                + jnp.arange(f, dtype=idx.dtype)[None, :, None]).reshape(-1)
+    vals = (bary[:, None, :] * g[None, :, :]).reshape(-1)
+    ref = jnp.zeros((capacity * f,), jnp.float32).at[flat_idx].add(
+        vals).reshape(capacity, f)
+    np.testing.assert_allclose(np.asarray(dtable), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
