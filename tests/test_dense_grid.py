@@ -48,3 +48,14 @@ def test_config_variants_parse():
         assert args.tracer_type == tracer, cfg
         # parent inheritance pulled best.yaml defaults through
         assert args.epochs == 800, cfg
+
+
+def test_grid_registry_accepts_all_reference_names():
+    # every grid_type string the reference configs/registry can select
+    # (SURVEY.md §2.3) must build (panoptic_nef.py:165-182 equivalent)
+    from pagnerf_tpu.models.grids import build_grid
+    for name in ("PermutoGrid", "HashGrid", "HashGridTorch", "HashGridTinyCudaNN",
+                 "TriplanarGrid", "TensoRF", "OctreeGrid", "CodebookOctreeGrid",
+                 "Occtree"):
+        g = build_grid(name, num_lods=2, feature_dim=2)
+        assert g is not None, name
