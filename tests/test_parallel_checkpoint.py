@@ -81,6 +81,24 @@ def test_sharded_train_step_runs_and_matches_single_device():
                                    err_msg=k)
 
 
+def test_dryrun_multichip_self_contained():
+    """``dryrun_multichip(8)`` must set up its own virtual CPU mesh — the driver
+    runs it in a fresh process on a 1-chip host with NO env help (round-1 failure:
+    MULTICHIP_r01.json rc=1 'need 8 devices, have 1')."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pagnerf_tpu.train import checkpoint
     from tests.test_train_e2e import make_trainer
