@@ -72,9 +72,14 @@ def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
     for rung in range(num_rungs):
         log.info("rung %d: %d trials x %d epochs", rung, len(trials), rung_epochs)
         scored = []
+        # Cumulative epoch target: the restored "full" checkpoint carries
+        # trainer.epoch from the previous rung, and trainer.train() iterates
+        # range(self.epoch, cfg.epochs) — passing the per-rung count would make
+        # every rung >= 1 a no-op that re-validates the rung-0 model.
+        cum_epochs = rung_epochs * (rung + 1)
         for t in trials:
             t0 = time.time()
-            m = run_trial(base_args, t["config"], rung_epochs, out_dir, t["id"],
+            m = run_trial(base_args, t["config"], cum_epochs, out_dir, t["id"],
                           resume_from=t["ckpt"])
             t["ckpt"] = m.pop("_ckpt")
             score = m.get(metric, 0.0)

@@ -111,6 +111,9 @@ FLAG_GROUPS: Dict[str, list] = {
         ("inst-direct-pos", B, False, None, None),
         ("separate-sem-grid", B, False, None, None),
         ("no-delta-grid", B, False, None, None),
+        # Parsed for config-schema parity but intentionally unused: the flag is
+        # dead in the reference too (declared at config_parser.py:212-213, stored
+        # at pc_nerf/trainer.py:100, never read afterwards).
         ("inst-conf-bootstrap-epoch-start", int, -1, None, None),
     ],
     "dataset": [

@@ -22,12 +22,21 @@ def semantic_loss(probs_or_logits: jnp.ndarray, targets: jnp.ndarray,
     """Per-pixel semantic loss, mean-reduced (trainer.py:458-465).
 
     probs_or_logits [N, C]; targets [N] int; conf [N] optional weights.
+
+    Invalid targets (< 0 or >= C, e.g. -1 "unlabeled" pixels) contribute zero loss
+    — a raw take_along_axis would wrap -1 to the last class and silently train on
+    garbage labels the day a config runs without dense predictions.
     """
     if sem_softmax:
         logp = jnp.log(probs_or_logits + 1e-27) / temperature
     else:
         logp = jax.nn.log_softmax(probs_or_logits / temperature, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+    num_classes = probs_or_logits.shape[-1]
+    valid = (targets >= 0) & (targets < num_classes)
+    safe_targets = jnp.where(valid, targets, 0)
+    nll = -jnp.take_along_axis(logp, safe_targets[:, None], axis=1)[:, 0]
+    nll = jnp.where(valid, nll, 0.0)
     if conf is not None:
         nll = nll * conf
-    return jnp.mean(nll)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom

@@ -3,9 +3,11 @@
 Equivalent of the reference's save/load surface: wisp BaseTrainer ``save_every`` /
 ``save_as_new`` / ``model_format`` (config flags, /root/reference/config_parser.py:366-372)
 and the 4 ``--pretrained`` load formats including shape-mismatch-tolerant partial
-loading (config_parser.py:753-776). State is a flax-serialised pytree of
+loading (config_parser.py:753-776). State is a flax msgpack-serialised pytree of
 {params, opt_state, occupancy, lod_weights, epoch, global_step} — everything needed
-for exact resume (SURVEY.md §5 checkpoint/resume)."""
+for exact resume (SURVEY.md §5 checkpoint/resume). msgpack carries no executable
+payload, so loading an untrusted checkpoint is data-only (unlike pickle; legacy
+pickle checkpoints from older runs are still readable but must be trusted)."""
 from __future__ import annotations
 
 import logging
@@ -16,6 +18,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import serialization as flax_ser
 
 log = logging.getLogger(__name__)
 
@@ -35,7 +38,7 @@ def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
         path = f"{base}_epoch{trainer.epoch}{ext}"
     state = {
         "params": _to_numpy(trainer.params),
-        "opt_state": _to_numpy(trainer.opt_state),
+        "opt_state": flax_ser.to_state_dict(_to_numpy(trainer.opt_state)),
         "occupancy": np.asarray(trainer.occ.occupancy),
         "occ_mask": np.asarray(trainer.occ.mask),
         "occ_level": trainer.occ.level,
@@ -44,7 +47,7 @@ def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
         "global_step": trainer.global_step,
     }
     with open(path, "wb") as f:
-        pickle.dump(state, f)
+        f.write(flax_ser.msgpack_serialize(state))
     log.info("saved checkpoint to %s", path)
     return path
 
@@ -78,20 +81,30 @@ def load_checkpoint(path: str, trainer, model_format: str = "full") -> None:
     """Restore trainer state in one of the reference's formats."""
     assert model_format in FORMATS, model_format
     with open(path, "rb") as f:
-        state: Dict = pickle.load(f)
+        raw = f.read()
+    try:
+        state: Dict = flax_ser.msgpack_restore(raw)
+    except Exception:
+        # Legacy pickle checkpoint (pre round-2). pickle can execute code on
+        # load — only use with checkpoints you produced yourself.
+        log.warning("legacy pickle checkpoint %s — loading via pickle "
+                    "(trusted sources only)", path)
+        state = pickle.loads(raw)
     ignore = model_format == "params_only_ignore_missmatch"
     trainer.params = _partial_merge(trainer.params, state["params"], ignore)
     if model_format in ("full", "state_dict"):
         from ..ops.occupancy import OccupancyGrid
         trainer.occ = OccupancyGrid(occupancy=jnp.asarray(state["occupancy"]),
                                     mask=jnp.asarray(state["occ_mask"]),
-                                    level=state["occ_level"])
+                                    level=int(state["occ_level"]))
         trainer.lod_w = jnp.asarray(state["lod_weights"])
-        trainer.epoch = state["epoch"]
-        trainer.global_step = state["global_step"]
+        trainer.epoch = int(state["epoch"])
+        trainer.global_step = int(state["global_step"])
         try:
-            trainer.opt_state = jax.tree.map(
-                jnp.asarray, state["opt_state"])
+            # restore through the live opt_state's structure (msgpack stores a
+            # plain nested dict; optax states are namedtuple pytrees)
+            trainer.opt_state = jax.tree.map(jnp.asarray, flax_ser.from_state_dict(
+                trainer.opt_state, state["opt_state"]))
         except Exception:
             log.warning("optimizer state incompatible; reinitialised")
             trainer.opt_state = trainer.tx.init(trainer.params)

@@ -123,6 +123,19 @@ class TrainerConfig:
     seed: int = 0
 
 
+def snap_microbatch(batch_size: int, micro_batch_imgs: int) -> int:
+    """Largest divisor of ``batch_size`` that is <= ``micro_batch_imgs``.
+
+    Microbatches must tile the batch exactly: a wrapped remainder slice would
+    re-include (double-count) images under the uniform 1/num_micro grad average,
+    and a different-sized remainder program would double the (expensive on axon)
+    compile. Snapping keeps gradients exact with one compiled program."""
+    mb = max(1, min(micro_batch_imgs, batch_size))
+    while batch_size % mb != 0:
+        mb -= 1
+    return mb
+
+
 @dataclasses.dataclass(frozen=True)
 class StageConfig:
     """Static per-epoch snapshot keying the jitted step."""
@@ -391,14 +404,11 @@ class PanopticTrainer:
         grad_step, accum, apply_step = self._train_step_cache[stage]
 
         b = batch["imgs"].shape[0]
-        mb = self.cfg.micro_batch_imgs or b
-        mb = min(mb, b)
-        num_micro = (b + mb - 1) // mb
+        mb = snap_microbatch(b, self.cfg.micro_batch_imgs or b)
+        num_micro = b // mb
         acc_g = acc_l = None
         for m in range(num_micro):
-            sl = slice(m * mb, min((m + 1) * mb, b))
-            if sl.stop - sl.start < mb:   # keep shapes static: wrap around
-                sl = slice(b - mb, b)
+            sl = slice(m * mb, (m + 1) * mb)
             sub = {k: jnp.asarray(v[sl]) if getattr(v, "ndim", 0) >= 1
                    and v.shape[0] == b else jnp.asarray(v)
                    for k, v in batch.items()}

@@ -103,6 +103,7 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
     render_time = 0.0
     num_imgs = data["imgs"].shape[0]
     have_labels = False
+    labeled_idxs = set()
     sem_cmap = label_colormap(max(sem_info["num_classes"], 2))
     frames = {k: [] for k in ("rgb", "depth", "sem", "sem_rgb", "inst",
                               "inst_rgb", "inst_conf")}
@@ -126,6 +127,7 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
             sem_map = np.argmax(np.asarray(rb.semantics), -1).reshape(h, w)
             labeled = not np.all(sem_gts == -1)
             if labeled:
+                labeled_idxs.add(i)
                 iou.update(sem_map, sem_gts)
                 if "semantics_pred" in data:
                     iou_pred.update(np.asarray(data["semantics_pred"][i]), sem_gts)
@@ -174,11 +176,16 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                     p_masks = (ip[None] == p_ids[1:][:, None, None])
                     mAP_pred.update(p_masks, np.ones(p_masks.shape[0]), gt_masks)
 
-    # validation media: PNG frames + per-channel videos (trainer.py:855-896)
+    # validation media: PNG frames + per-channel videos (trainer.py:855-896).
+    # render_val_labels additionally saves every GT-labeled frame — with its GT
+    # label maps — regardless of the save stride (reference trainer.py:855-880).
     if media_dir:
         os.makedirs(media_dir, exist_ok=True)
         every = max(getattr(cfg, "num_val_frames_to_save", 1), 1)
-        for i in range(0, num_imgs, every):
+        save_idxs = set(range(0, num_imgs, every))
+        if getattr(cfg, "render_val_labels", True):
+            save_idxs |= labeled_idxs
+        for i in sorted(save_idxs):
             write_png(os.path.join(media_dir, f"{i}.png"), frames["rgb"][i])
             write_png(os.path.join(media_dir, f"{i}_gt.png"),
                       np.asarray(data["imgs"][i])[..., :3])
@@ -186,6 +193,15 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                 write_png(os.path.join(media_dir, f"{i}_sem.png"), frames["sem"][i])
             if frames["inst"]:
                 write_png(os.path.join(media_dir, f"{i}_inst.png"), frames["inst"][i])
+            if i in labeled_idxs and getattr(cfg, "render_val_labels", True):
+                if use_sem:
+                    write_png(os.path.join(media_dir, f"{i}_sem_gt.png"), label2rgb(
+                        np.asarray(data["semantics"][i]).reshape(h, w),
+                        colormap=sem_cmap))
+                if use_inst:
+                    ig = np.asarray(data["instance"][i]).reshape(h, w)
+                    write_png(os.path.join(media_dir, f"{i}_inst_gt.png"), label2rgb(
+                        ig, colormap=label_colormap(int(ig.max()) + 2)))
         for name, fl in frames.items():
             if fl:
                 write_video(os.path.join(media_dir, f"{name}.mp4"), fl)

@@ -153,3 +153,33 @@ def test_photometric_losses():
     np.testing.assert_allclose(float(l), -(np.log(0.9) + np.log(0.8)) / 2, rtol=1e-5)
     lw = semantic_loss(probs, t, sem_softmax=True, conf=jnp.array([1.0, 0.0]))
     np.testing.assert_allclose(float(lw), -np.log(0.9) / 2, rtol=1e-5)
+
+
+def test_semantic_loss_ignores_invalid_labels():
+    """-1 (unlabeled) targets must contribute zero loss, not wrap to the last
+    class (losses/photometric.py guard; reference always has dense preds so a
+    raw take_along_axis bug would be silent)."""
+    probs = jnp.array([[0.9, 0.1], [0.2, 0.8], [0.5, 0.5]])
+    t_all = jnp.array([0, 1])
+    t_inv = jnp.array([0, 1, -1])
+    l_valid = semantic_loss(probs[:2], t_all, sem_softmax=True)
+    l_guard = semantic_loss(probs, t_inv, sem_softmax=True)
+    np.testing.assert_allclose(float(l_guard), float(l_valid), rtol=1e-6)
+    # out-of-range high labels are also dropped
+    l_high = semantic_loss(probs, jnp.array([0, 1, 99]), sem_softmax=True)
+    np.testing.assert_allclose(float(l_high), float(l_valid), rtol=1e-6)
+    # all-invalid stays finite
+    assert np.isfinite(float(semantic_loss(probs, jnp.array([-1, -1, -1]),
+                                           sem_softmax=True)))
+
+
+def test_snap_microbatch():
+    """Microbatches must tile the batch exactly (no wrapped remainder slice that
+    double-counts images in the accumulated gradient)."""
+    from pagnerf_tpu.train.trainer import snap_microbatch
+    assert snap_microbatch(6, 4) == 3
+    assert snap_microbatch(6, 6) == 6
+    assert snap_microbatch(6, 5) == 3
+    assert snap_microbatch(7, 3) == 1
+    assert snap_microbatch(8, 4) == 4
+    assert snap_microbatch(2, 100) == 2
