@@ -124,6 +124,9 @@ FLAG_GROUPS: Dict[str, list] = {
         ("scale", float, None, None, "*"),
         ("offset", float, None, None, "*"),
         ("pose-src", str, "odom", ["odom", "metashape"], None),
+        # per-sequence robot self-occlusion mask, relative to the sequence dir's
+        # parent (reference agrobot_base.py:120-155 mask_robot_path ctor arg)
+        ("mask-robot-path", str, None, None, None),
         ("dataset-mode", str, "label_window",
          ["label_window", "all_frames_window"], None),
         ("max-depth", float, -1.0, None, None),

@@ -48,6 +48,20 @@ def csv_odom_to_transforms(path: str) -> Dict[str, np.ndarray]:
     return odom_tfs
 
 
+def load_odometry(odom_path: Path) -> Dict[str, np.ndarray]:
+    """Odometry file -> {ts: 4x4}. CSV (quaternion rows) or metashape NPZ with
+    0.03 translation scaling (reference agrobot_base.py:355-366)."""
+    odom_path = Path(odom_path)
+    if odom_path.suffix == ".csv":
+        return csv_odom_to_transforms(str(odom_path))
+    if odom_path.suffix == ".npz":
+        ms = np.load(odom_path)
+        tfs = ms["arr_0"].copy()
+        tfs[..., :3, 3] *= 0.03
+        return {ts: tf for ts, tf in zip(ms["arr_1"], tfs)}
+    raise NotImplementedError(f"Unsupported odometry filetype {odom_path}")
+
+
 def _to_np(x) -> np.ndarray:
     """Detach torch tensors from prediction pickles without importing torch unless
     needed."""
@@ -158,6 +172,21 @@ class SequenceDataset:
         from PIL import Image
         return np.asarray(Image.open(path), np.float32)
 
+    def load_robot_mask(self, img_path: Path) -> Optional[np.ndarray]:
+        """Per-sequence robot self-occlusion mask, grayscale; nonzero = robot pixel
+        (reference getRobotMask, agrobot_base.py:241-242 — the mask file lives two
+        levels above the frame: seq_dir/../<robot_mask_path>). Returns None when
+        robot masking is not configured."""
+        if self.robot_mask_path is None:
+            return None
+        from PIL import Image
+        mask_file = img_path.parent.parent / self.robot_mask_path
+        if not mask_file.exists():
+            raise FileNotFoundError(
+                f"robot mask enabled (mask_robot_path={self.robot_mask_path!r}) "
+                f"but {mask_file} does not exist")
+        return (np.asarray(Image.open(mask_file).convert("L")) > 0).astype(np.uint8)
+
     # ------------------------------------------------------------------ preds
     def load_preds(self, img_path: Path):
         """Dispatch on the predictions folder name (agrobot_base.py:463-476)."""
@@ -219,16 +248,7 @@ class SequenceDataset:
         seq = [p for p in sorted(parent.iterdir()) if p.suffix == img_path.suffix]
         seq_idx = seq.index(img_path)
 
-        odom_path = parent / self.odom_file_path
-        if odom_path.suffix == ".csv":
-            odom_from_ts = csv_odom_to_transforms(str(odom_path))
-        elif odom_path.suffix == ".npz":
-            ms = np.load(odom_path)
-            tfs = ms["arr_0"]
-            tfs[..., :3, 3] *= 0.03
-            odom_from_ts = {ts: tf for ts, tf in zip(ms["arr_1"], tfs)}
-        else:
-            raise NotImplementedError(f"Unsupported odometry filetype {odom_path}")
+        odom_from_ts = load_odometry(parent / self.odom_file_path)
 
         with open(parent / "params.yaml") as yml:
             cam_params = {k: np.asarray(v, np.float32)
@@ -245,6 +265,7 @@ class SequenceDataset:
                 paths = [p for p in paths if p not in self.img_path_to_ids]
 
         center_odom = odom_from_ts[img_path.name.split(".")[0]]
+        robot_mask = self.load_robot_mask(img_path)
         data = []
         for path in paths:
             rgb = self._load_rgb(self._root_dir / path if not path.is_absolute()
@@ -273,7 +294,7 @@ class SequenceDataset:
             ts = path.name.split(".")[0]
             robot_odom = odom_from_ts[ts]
             frame_odom = ext_i @ np.linalg.inv(robot_odom) @ center_odom @ ext
-            data.append({
+            frame = {
                 "rgb": rgb, "depth": depth,
                 "semantics": sem_label, "imap": inst_label,
                 "semantics_pred": sem_pred, "imap_pred": imap_pred,
@@ -282,7 +303,10 @@ class SequenceDataset:
                 "intrinsics": cam_params["intrinsics"],
                 "extrinsics": cam_params["extrinsics"],
                 "file_names": path.name,
-            })
+            }
+            if robot_mask is not None:
+                frame["robot_mask"] = robot_mask
+            data.append(frame)
         return data
 
 
@@ -357,9 +381,9 @@ class InferenceDataset(SequenceDataset):
             else self.val_frames_idxs
         parent = img_path.parent
         seq_idx = seq.index(img_path)
-        odom_path = parent / self.odom_file_path
-        odom_from_ts = csv_odom_to_transforms(str(odom_path)) \
-            if odom_path.suffix == ".csv" else {}
+        # same loader as SequenceDataset.__getitem__ — a CSV-only branch here used
+        # to KeyError for odom_src="metashape" inference windows (round-1 weak #4)
+        odom_from_ts = load_odometry(parent / self.odom_file_path)
         with open(parent / "params.yaml") as yml:
             cam_params = {k: np.asarray(v, np.float32)
                           for k, v in yaml.safe_load(yml).items()}
@@ -368,6 +392,7 @@ class InferenceDataset(SequenceDataset):
         deltas = list(reversed(sorted(used)))
         idxs = [min(len(seq) - 1, max(0, int(seq_idx - d))) for d in deltas]
         center_odom = odom_from_ts[img_path.name.split(".")[0]]
+        robot_mask = self.load_robot_mask(img_path)
         data = []
         for path in (seq[i] for i in idxs):
             rgb = self._load_rgb(path)
@@ -377,7 +402,7 @@ class InferenceDataset(SequenceDataset):
             robot_odom = odom_from_ts[ts]
             frame_odom = ext_i @ np.linalg.inv(robot_odom) @ center_odom @ ext
             empty = np.full(rgb.shape[:2], -1, np.int32)
-            data.append({
+            frame = {
                 "rgb": rgb, "depth": depth, "semantics": empty, "imap": empty,
                 "semantics_pred": sem_pred, "imap_pred": imap_pred,
                 "sem_conf": sem_conf, "inst_conf": inst_conf,
@@ -385,7 +410,10 @@ class InferenceDataset(SequenceDataset):
                 "intrinsics": cam_params["intrinsics"],
                 "extrinsics": cam_params["extrinsics"],
                 "file_names": path.name,
-            })
+            }
+            if robot_mask is not None:
+                frame["robot_mask"] = robot_mask
+            data.append(frame)
         return data
 
 
@@ -394,7 +422,7 @@ class BUP20SequenceDataset(SequenceDataset):
 
     def __init__(self, dataset_file, subset="train", seq_num_frames=40,
                  odom_src="odom", preds_rel_path=None, max_depth=-1,
-                 class_labels=("bg", "pepper")):
+                 class_labels=("bg", "pepper"), robot_mask_path=None):
         odo = {"rgbd": "rgbd_odom.csv", "odom": "odometry.csv",
                "metashape": "metashape_cameras.npz"}
         if odom_src not in odo:
@@ -403,6 +431,7 @@ class BUP20SequenceDataset(SequenceDataset):
                          class_labels=list(class_labels), depth_rel_path="depth",
                          odometry_rel_file_path=odo[odom_src],
                          frame_window_size=seq_num_frames,
+                         mask_robot_path=robot_mask_path,
                          preds_rel_path=preds_rel_path, max_depth=max_depth)
 
 
@@ -411,11 +440,13 @@ class BUP20InferenceDataset(InferenceDataset):
 
     def __init__(self, dataset_file, subset="train", seq_num_frames=40,
                  num_rm_frames=10, odom_src="odom", preds_rel_path=None,
-                 max_depth=-1, class_labels=("bg", "pepper")):
+                 max_depth=-1, class_labels=("bg", "pepper"),
+                 robot_mask_path=None):
         odo = {"rgbd": "rgbd_odom.csv", "odom": "odometry.csv",
                "metashape": "metashape_cameras.npz"}
         super().__init__(dataset_file, subset, list(class_labels), "depth",
                          odo[odom_src], seq_num_frames,
+                         mask_robot_path=robot_mask_path,
                          preds_rel_path=preds_rel_path, max_depth=max_depth,
                          num_rm_frames=num_rm_frames)
 

@@ -70,7 +70,8 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
               load_modes=None, scale=None, offset=None,
               add_noise_to_train_poses=False, pose_noise_strength=0.01,
               dataset_center_idx=0, pose_src="odom", max_depth=-1.0,
-              mode="label_window", class_labels=None) -> Dict:
+              mode="label_window", class_labels=None,
+              robot_mask_path=None) -> Dict:
     """reference BUP20.load_data (bup20.py:88-315), producing the framework's data
     dict with both train and val frames (interleaved split indices)."""
     class_labels = class_labels or DEFAULT_CLASS_LABELS
@@ -85,7 +86,8 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
     for sub in ("train", "val"):
         ds = cls(root / "BUP_20.json", subset=sub, seq_num_frames=40,
                  odom_src=pose_src, preds_rel_path=preds_name,
-                 max_depth=max_depth, class_labels=class_labels)
+                 max_depth=max_depth, class_labels=class_labels,
+                 robot_mask_path=robot_mask_path)
         data = ds[dataset_center_idx]
         for d in data:
             d["split"] = sub
@@ -151,7 +153,15 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
     wd = wd / (jnp.linalg.norm(wd, axis=-1, keepdims=True) + 1e-12)
 
     splits = np.asarray(splits)
+    extra = {}
+    if "robot_mask" in frames[0]:
+        # per-sequence robot self-occlusion mask: attached by the window loader
+        # (reference agrobot_base.py:120-155); consumed by MultiviewDataset to
+        # exclude robot pixels from ray sampling
+        extra["robot_mask"] = _resize(frames[0]["robot_mask"], h, w,
+                                      nearest=True).astype(np.uint8)
     return {
+        **extra,
         "imgs": np.stack(imgs).astype(np.float32),
         "semantics": np.stack(sems),
         "semantics_pred": np.stack(sems_p),
@@ -184,4 +194,5 @@ def load_bup20(args) -> Dict:
         pose_noise_strength=args.pose_noise_strength,
         dataset_center_idx=args.dataset_center_idx, pose_src=args.pose_src,
         max_depth=args.max_depth, mode=args.dataset_mode,
-        class_labels=args.class_labels or None)
+        class_labels=args.class_labels or None,
+        robot_mask_path=getattr(args, "mask_robot_path", None))

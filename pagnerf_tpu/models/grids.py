@@ -40,13 +40,18 @@ class PermutoGrid(nn.Module):
     def output_dim(self) -> int:
         return self.num_lods * self.feature_dim
 
-    @nn.compact
+    # setup-style (not @nn.compact) so a parent module can read ``.tables`` and
+    # ``.spec`` for the fused dual-grid encode (nefs.PanopticDeltaNeF); the param
+    # path ("tables") is identical to the former compact declaration.
+    def setup(self):
+        self.spec = PermutoEncodingSpec(self.num_lods, self.feature_dim,
+                                        self.capacity_log2, self.coarsest_scale,
+                                        self.finest_scale)
+        self.tables = self.param("tables", lambda k: self.spec.init(k))
+
     def __call__(self, coordsT: jnp.ndarray) -> jnp.ndarray:
-        spec = PermutoEncodingSpec(self.num_lods, self.feature_dim,
-                                   self.capacity_log2, self.coarsest_scale,
-                                   self.finest_scale)
-        tables = self.param("tables", lambda k: spec.init(k))
-        return spec.encode_T(tables, coordsT, compute_dtype=self.compute_dtype)
+        return self.spec.encode_T(self.tables, coordsT,
+                                  compute_dtype=self.compute_dtype)
 
 
 class HashGrid(nn.Module):
@@ -64,13 +69,16 @@ class HashGrid(nn.Module):
     def output_dim(self) -> int:
         return self.num_lods * self.feature_dim
 
-    @nn.compact
+    # setup-style for the same reason as PermutoGrid (dual-grid fusion access).
+    def setup(self):
+        self.spec = HashEncodingSpec(self.num_lods, self.feature_dim,
+                                     self.log2_table_size, self.base_resolution,
+                                     self.finest_resolution)
+        self.tables = self.param("tables", lambda k: self.spec.init(k))
+
     def __call__(self, coordsT: jnp.ndarray) -> jnp.ndarray:
-        spec = HashEncodingSpec(self.num_lods, self.feature_dim,
-                                self.log2_table_size, self.base_resolution,
-                                self.finest_resolution)
-        tables = self.param("tables", lambda k: spec.init(k))
-        return spec.encode_T(tables, coordsT, compute_dtype=self.compute_dtype)
+        return self.spec.encode_T(self.tables, coordsT,
+                                  compute_dtype=self.compute_dtype)
 
 
 class TriplanarGrid(nn.Module):

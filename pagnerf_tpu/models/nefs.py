@@ -167,12 +167,15 @@ class PanopticNeF(nn.Module):
          self.decoder_semantics, self.decoder_inst) = self._make_decoders()
 
     # --------------------------------------------------------------- helpers
-    def _grid_feats(self, grid_module, coordsT: jnp.ndarray,
-                    lod_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
-        featsT = grid_module(coordsT)                              # [L*F, N]
+    def _post_grid(self, featsT: jnp.ndarray,
+                   lod_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
         if lod_weights is not None:
             featsT = featsT * lod_weights.astype(featsT.dtype)[:, None]
         return _multiscale(featsT, self.grid.num_lods, self.multiscale_type)
+
+    def _grid_feats(self, grid_module, coordsT: jnp.ndarray,
+                    lod_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+        return self._post_grid(grid_module(coordsT), lod_weights)  # [L*F, N]
 
     def _density(self, featsT: jnp.ndarray):
         density_feats = self.decoder_density(featsT)               # [16, N]
@@ -239,6 +242,11 @@ class PanopticNeF(nn.Module):
         return frozenset({"density", "rgb", "semantics", "inst_embedding"})
 
 
+# Grid types whose modules expose .spec/.tables for the shared-lattice dual encode.
+_DUAL_FUSABLE = frozenset({"PermutoGrid", "HashGrid", "HashGridTorch",
+                           "HashGridTinyCudaNN", "CodebookOctreeGrid"})
+
+
 class PanopticDeltaNeF(PanopticNeF):
     """Delta-grid panoptic NeF — THE PAg-NeRF model (reference
     pc_nerf/panoptic_delta_nef.py; best.yaml nef_type). Panoptic features are additive
@@ -247,12 +255,34 @@ class PanopticDeltaNeF(PanopticNeF):
     delta_grid: Optional[GridConfig] = None
     delta_num_layers: int = 1
     delta_hidden_dim: int = 64
+    # Fused dual-grid encode: when the delta grid has the same spec as the main
+    # grid, both tables are gathered at ONE shared lattice (the delta grid queries
+    # stop-gradient copies of the same coords, panoptic_delta_nef.py:215, so
+    # indices/barycentrics are numerically identical) and both table gradients
+    # scatter through one one-hot build (ops/table_gather.dual_multilevel_table_gather).
+    fuse_dual_grid: bool = True
 
     def setup(self):
         super().setup()
         if self.panoptic_features_type in ("delta", "separate", None):
             cfg = self.delta_grid or self.grid
             self.delta_grid_module = cfg.build("delta_grid")
+
+    def _can_fuse_dual(self) -> bool:
+        return (self.fuse_dual_grid
+                and self.panoptic_features_type in ("delta", None)
+                and (self.delta_grid is None or self.delta_grid == self.grid)
+                and self.grid.grid_type in _DUAL_FUSABLE)
+
+    def _dual_feats(self, coordsT, lod_weights):
+        """Shared-lattice gather of main + delta tables. Returns
+        (feats, panop_feats) with the exact delta stop-grad contract."""
+        fa, fb = self.grid_module.spec.encode_dual_T(
+            self.grid_module.tables, self.delta_grid_module.tables, coordsT,
+            compute_dtype=self.grid_module.compute_dtype)
+        feats = self._post_grid(fa, lod_weights)
+        delta_feats = self._post_grid(fb, lod_weights)
+        return feats, jax.lax.stop_gradient(feats) + delta_feats
 
     def _panoptic_feats(self, coordsT, feats, lod_weights):
         """Grid additive fusion (panoptic_delta_nef.py:211-236). All [C, N]."""
@@ -278,7 +308,12 @@ class PanopticDeltaNeF(PanopticNeF):
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
-        feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
+        need_panop = bool(channels & {"semantics", "inst_embedding"})
+        panop_feats = None
+        if need_panop and self._can_fuse_dual():
+            feats, panop_feats = self._dual_feats(coordsT, lod_weights)
+        else:
+            feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
 
         if channels & {"density", "rgb", "semantics", "inst_embedding"}:
             density_feats, density = self._density(feats)
@@ -286,8 +321,9 @@ class PanopticDeltaNeF(PanopticNeF):
                 out["density"] = density
         if "rgb" in channels:
             out["rgb"] = self._rgb(density_feats, ray_dT)
-        if channels & {"semantics", "inst_embedding"}:
-            panop_feats = self._panoptic_feats(coordsT, feats, lod_weights)
+        if need_panop:
+            if panop_feats is None:
+                panop_feats = self._panoptic_feats(coordsT, feats, lod_weights)
             if "semantics" in channels:
                 out["semantics"] = self._semantics(panop_feats)
             if "inst_embedding" in channels:
@@ -317,7 +353,17 @@ class PanopticDDensityNeF(PanopticDeltaNeF):
         out: Dict[str, jnp.ndarray] = {}
         if not channels:
             return out
-        feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
+        panop_needed = channels & {"delta_density", "panoptic_density", "semantics",
+                                   "inst_embedding"}
+        fuse = (bool(panop_needed) and not self.separate_sem_grid
+                and self.fuse_dual_grid
+                and (self.delta_grid is None or self.delta_grid == self.grid)
+                and self.grid.grid_type in _DUAL_FUSABLE)
+        panop_feats = None
+        if fuse:
+            feats, panop_feats = self._dual_feats(coordsT, lod_weights)
+        else:
+            feats = self._grid_feats(self.grid_module, coordsT, lod_weights)
 
         need_density = bool(channels & {"density", "rgb"}) or (
             "panoptic_density" in channels and not self.separate_sem_grid)
@@ -328,9 +374,7 @@ class PanopticDDensityNeF(PanopticDeltaNeF):
         if "rgb" in channels:
             out["rgb"] = self._rgb(density_feats, ray_dT)
 
-        panop_needed = channels & {"delta_density", "panoptic_density", "semantics",
-                                   "inst_embedding"}
-        if panop_needed:
+        if panop_needed and panop_feats is None:
             feats_detached = jax.lax.stop_gradient(feats)
             coords_detached = jax.lax.stop_gradient(coordsT)
             delta_feats = self._grid_feats(self.delta_grid_module, coords_detached,

@@ -125,6 +125,42 @@ def hash_encode(tables: jnp.ndarray, coords: jnp.ndarray,
     return hash_encode_T(tables, coords.T, resolutions, compute_dtype).T
 
 
+def hash_encode_dual_T(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
+                       coordsT: jnp.ndarray,
+                       resolutions: Sequence[int] | np.ndarray,
+                       compute_dtype=jnp.float32):
+    """Encode against TWO same-spec table stacks with one shared voxel lattice —
+    the delta-grid fusion (see ops/permuto_encoding.permuto_encode_dual_T and
+    ops/table_gather.dual_multilevel_table_gather). Returns (featsA, featsB),
+    each [L*F, N]; the B side's trilinear weights carry no coordinate gradient."""
+    num_levels, table_size, feat_dim = tables_a.shape
+    assert tables_b.shape == tables_a.shape, "dual encode needs same-spec tables"
+    log2_t = int(np.log2(table_size))
+    res = jnp.asarray(np.asarray(resolutions), jnp.float32)
+    x = jnp.clip(coordsT, -1.0, 1.0).astype(jnp.float32)
+    n = x.shape[1]
+    cornersT = jnp.asarray(_CORNERS.T)
+
+    from .table_gather import dual_multilevel_table_gather
+
+    def level_index(r):
+        cell = (x + 1.0) * (r / 2.0)
+        bl = jnp.floor(cell)
+        frac = cell - bl
+        corners = bl.astype(jnp.int32)[:, None, :] + cornersT[:, :, None]
+        idx = _spatial_hash_T(corners, log2_t)
+        w = jnp.where(cornersT[:, :, None].astype(bool),
+                      frac[:, None, :], 1.0 - frac[:, None, :])
+        return idx, w[0] * w[1] * w[2]
+
+    idx, w = jax.vmap(level_index)(res)
+    out_a, out_b = dual_multilevel_table_gather(
+        tables_a.astype(compute_dtype), tables_b.astype(compute_dtype),
+        idx, w.astype(compute_dtype))
+    return (out_a.reshape(num_levels * feat_dim, n),
+            out_b.reshape(num_levels * feat_dim, n))
+
+
 class HashEncodingSpec:
     """Static spec for a multiresolution hash encoder (shapes, resolutions).
 
@@ -155,3 +191,8 @@ class HashEncodingSpec:
     def encode_T(self, tables: jnp.ndarray, coordsT: jnp.ndarray,
                  compute_dtype=jnp.float32) -> jnp.ndarray:
         return hash_encode_T(tables, coordsT, self.resolutions, compute_dtype)
+
+    def encode_dual_T(self, tables_a: jnp.ndarray, tables_b: jnp.ndarray,
+                      coordsT: jnp.ndarray, compute_dtype=jnp.float32):
+        return hash_encode_dual_T(tables_a, tables_b, coordsT, self.resolutions,
+                                  compute_dtype)

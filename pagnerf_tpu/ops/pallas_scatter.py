@@ -154,6 +154,93 @@ def _table_grad_kernel(row_ref, lane0_ref, bg_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
+def _table_grad_kernel_dual(row_ref, lane0_ref, bg_ref, out_ref):
+    """Paired-table gradient scatter: two tables gathered at IDENTICAL indices
+    (the delta-grid contract — panoptic_delta_nef.py:215 queries the delta grid at
+    stop-gradient coords, so both grids share rows). The [MB, R] one-hot — roughly
+    half the kernel's non-MXU cost — is built ONCE and contracted against a
+    [MB, 256] lane-spread holding table A's values in lanes 0-127 and table B's in
+    lanes 128-255; one dot feeds a [R, 256] VMEM-resident accumulator."""
+    mc = pl.program_id(0)
+
+    @pl.when(mc == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = row_ref[:]                                    # [MB, 1] int32
+    lane0 = lane0_ref[:]                                 # [MB, 1] int32
+    bg = bg_ref[:]                                       # [MB, 2F] (A then B)
+    mb, f2 = bg.shape
+    f = f2 // 2
+    r = out_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (mb, 2 * LANES), 1)
+    vals = jnp.zeros((mb, 2 * LANES), jnp.bfloat16)
+    for fi in range(f):                                  # static, F is 2 or 4
+        sel_a = lanes == (lane0 + fi)
+        sel_b = lanes == (lane0 + fi + LANES)
+        vals = vals + sel_a.astype(jnp.bfloat16) * bg[:, fi:fi + 1].astype(jnp.bfloat16)
+        vals = vals + sel_b.astype(jnp.bfloat16) * bg[:, f + fi:f + fi + 1].astype(jnp.bfloat16)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mb, r), 1)
+    oh = (rows == cols).astype(jnp.bfloat16)             # [MB, R]
+    out_ref[:] += jax.lax.dot_general(
+        oh, vals, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
+                           g_a: jnp.ndarray, g_b: jnp.ndarray,
+                           capacity: int, feature_dim: int,
+                           event_chunk: int = 768,
+                           interpret: bool = False):
+    """Table gradients for TWO tables sharing indices, via one fused MXU scatter.
+
+    idx [V, N]; bary [V, N]; g_a/g_b [F, N] cotangents of the two gathers.
+    Returns (dtable_a, dtable_b), each [C, F] f32.
+
+    Compared to two ``table_grad_matmul`` calls this halves the one-hot builds and
+    the event-stream passes; the dot does the same total MXU work in one issue.
+    Default event_chunk is 768 (vs 1024 single): the [MB, R] one-hot plus the
+    [R, 256] accumulator must fit VMEM together.
+    """
+    v, n = idx.shape
+    f = feature_dim
+    epr = LANES // f
+    rows = (capacity * f) // LANES
+    row_idx = (idx // epr).reshape(-1)                        # [M]
+    lane0 = ((idx % epr) * f).reshape(-1)                     # [M]
+    bg_a = (bary[:, None, :] * g_a[None, :, :]).transpose(0, 2, 1).reshape(-1, f)
+    bg_b = (bary[:, None, :] * g_b[None, :, :]).transpose(0, 2, 1).reshape(-1, f)
+    bg = jnp.concatenate([bg_a, bg_b], axis=-1)               # [M, 2F]
+
+    m = row_idx.shape[0]
+    pad = (-m) % event_chunk
+    if pad:
+        row_idx = jnp.pad(row_idx, (0, pad), constant_values=-1)
+        lane0 = jnp.pad(lane0, (0, pad))
+        bg = jnp.pad(bg, ((0, pad), (0, 0)))
+        m += pad
+
+    dpacked = pl.pallas_call(
+        _table_grad_kernel_dual,
+        grid=(m // event_chunk,),
+        in_specs=[
+            pl.BlockSpec((event_chunk, 1), lambda mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((event_chunk, 1), lambda mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((event_chunk, 2 * f), lambda mc: (mc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 2 * LANES), lambda mc: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 2 * LANES), jnp.float32),
+        interpret=interpret,
+    )(row_idx.reshape(m, 1).astype(jnp.int32),
+      lane0.reshape(m, 1).astype(jnp.int32), bg)
+    return (dpacked[:, :LANES].reshape(capacity, f),
+            dpacked[:, LANES:].reshape(capacity, f))
+
+
 def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
                       capacity: int, feature_dim: int,
                       event_chunk: int = 1024,

@@ -167,6 +167,41 @@ def permuto_encode(tables: jnp.ndarray, coords: jnp.ndarray,
     return permuto_encode_T(tables, coords.T, scales, compute_dtype).T
 
 
+def permuto_encode_dual_T(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
+                          coordsT: jnp.ndarray, scales: np.ndarray,
+                          compute_dtype=jnp.float32):
+    """Encode coords against TWO same-spec table stacks with one shared lattice.
+
+    The delta-grid fusion (PanopticDeltaNeF): the delta grid is queried at
+    stop-gradient copies of the same coordinates (panoptic_delta_nef.py:215), so
+    the simplex/hash math is identical — compute it once, gather both tables, and
+    let the fused backward scatter both tables' gradients per one-hot build
+    (ops/table_gather.dual_multilevel_table_gather). The B side's barycentric
+    weights carry no coordinate gradient, matching the stop-grad contract.
+
+    Returns (featsA [L*F, N], featsB [L*F, N]).
+    """
+    num_levels, capacity, feat_dim = tables_a.shape
+    assert tables_b.shape == tables_a.shape, "dual encode needs same-spec tables"
+    log2_c = int(np.log2(capacity))
+    inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
+    x = coordsT.astype(jnp.float32)
+    n = x.shape[1]
+
+    from .table_gather import dual_multilevel_table_gather
+
+    def level_index(inv_s):
+        keys, bary = simplex_vertices_and_weights_T(x * inv_s)
+        return _hash_keys_T(keys, log2_c), bary
+
+    idx, bary = jax.vmap(level_index)(inv_scales)                # [L, 4, N] x2
+    out_a, out_b = dual_multilevel_table_gather(
+        tables_a.astype(compute_dtype), tables_b.astype(compute_dtype),
+        idx, bary.astype(compute_dtype))
+    return (out_a.reshape(num_levels * feat_dim, n),
+            out_b.reshape(num_levels * feat_dim, n))
+
+
 class PermutoEncodingSpec:
     """Static spec mirroring the reference PermutoGrid constructor
     (grids/permuto_grid.py:16-28: coarsest_scale, finest_scale, capacity_log_2,
@@ -195,3 +230,8 @@ class PermutoEncodingSpec:
     def encode_T(self, tables: jnp.ndarray, coordsT: jnp.ndarray,
                  compute_dtype=jnp.float32) -> jnp.ndarray:
         return permuto_encode_T(tables, coordsT, self.scales, compute_dtype)
+
+    def encode_dual_T(self, tables_a: jnp.ndarray, tables_b: jnp.ndarray,
+                      coordsT: jnp.ndarray, compute_dtype=jnp.float32):
+        return permuto_encode_dual_T(tables_a, tables_b, coordsT, self.scales,
+                                     compute_dtype)

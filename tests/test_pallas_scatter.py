@@ -30,6 +30,33 @@ def test_scatter_drops_padding_rows():
     assert float(out.sum()) == 2.0 * 128
 
 
+def test_dual_table_grad_matches_two_scatters():
+    """The paired-table kernel (one one-hot build, [R, 256] accumulator) must
+    reproduce two independent table-gradient scatters."""
+    from pagnerf_tpu.ops.pallas_scatter import table_grad_matmul_dual
+    rng = np.random.default_rng(3)
+    capacity, f, v, n = 1024, 2, 4, 700
+    idx = jnp.asarray(rng.integers(0, capacity, (v, n)), jnp.int32)
+    bary = jnp.asarray(rng.random((v, n)), jnp.float32)
+    g_a = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    g_b = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+
+    da, db = table_grad_matmul_dual(idx, bary, g_a, g_b, capacity, f,
+                                    event_chunk=512, interpret=True)
+
+    def ref(g):
+        flat_idx = (idx[:, None, :] * f
+                    + jnp.arange(f, dtype=idx.dtype)[None, :, None]).reshape(-1)
+        vals = (bary[:, None, :] * g[None, :, :]).reshape(-1)
+        return jnp.zeros((capacity * f,), jnp.float32).at[flat_idx].add(
+            vals).reshape(capacity, f)
+
+    np.testing.assert_allclose(np.asarray(da), np.asarray(ref(g_a)),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(ref(g_b)),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_table_grad_matches_autodiff_scatter():
     rng = np.random.default_rng(1)
     capacity, f, v, n = 1024, 2, 4, 500

@@ -60,3 +60,36 @@ def test_bary_grad_flows_to_coords():
     raw = jax.random.normal(key, (v, n))
     g = jax.grad(loss)(raw)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_dual_multilevel_matches_separate_gathers():
+    """Fused dual-table gather == two independent gathers, with the delta
+    contract: bary cotangent comes from the A side only (B gathers at
+    stop-gradient bary, panoptic_delta_nef.py:215)."""
+    from pagnerf_tpu.ops.table_gather import dual_multilevel_table_gather
+    key = jax.random.PRNGKey(3)
+    ka, kb, ki, kw, kc = jax.random.split(key, 5)
+    l, c, f, v, n = 3, 128, 2, 4, 41
+    ta = jax.random.normal(ka, (l, c, f))
+    tb = jax.random.normal(kb, (l, c, f))
+    idx = jax.random.randint(ki, (l, v, n), 0, c)
+    idx = idx.at[:, 1].set(idx[:, 0])   # include duplicate rows
+    bary = jax.random.uniform(kw, (l, v, n))
+    ca = jax.random.normal(kc, (l, f, n))
+    cb = jax.random.normal(kc, (l, f, n)) * 0.5
+
+    def fused(ta, tb, bary):
+        oa, ob = dual_multilevel_table_gather(ta, tb, idx, bary)
+        return jnp.sum(oa * ca) + jnp.sum(ob * cb)
+
+    def separate(ta, tb, bary):
+        oa = multilevel_table_gather(ta, idx, bary)
+        ob = multilevel_table_gather(tb, idx, jax.lax.stop_gradient(bary))
+        return jnp.sum(oa * ca) + jnp.sum(ob * cb)
+
+    vf, gf = jax.value_and_grad(fused, argnums=(0, 1, 2))(ta, tb, bary)
+    vs, gs = jax.value_and_grad(separate, argnums=(0, 1, 2))(ta, tb, bary)
+    np.testing.assert_allclose(float(vf), float(vs), rtol=1e-5)
+    for a, b, name in zip(gf, gs, ("dtables_a", "dtables_b", "dbary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=name)
