@@ -51,6 +51,18 @@ def main(argv=None):
         log.info("validation: %s", metrics)
         return metrics
 
+    if args.render_views:
+        from pagnerf_tpu.app.orbit_renderer import render_orbit
+        out_dir = args.render_views_dir or os.path.join(log_dir, "views")
+        frames = render_orbit(trainer, out_dir)
+        log.info("rendered %d views x %d channels to %s",
+                 len(next(iter(frames.values()), [])), len(frames), out_dir)
+        return frames
+
+    if args.viewer:
+        from pagnerf_tpu.app.viewer_server import serve
+        return serve(trainer, port=args.viewer_port)
+
     if args.save_map_only:
         from pagnerf_tpu.utils.render_map import generate_pc_map_from_views
         out = generate_pc_map_from_views(trainer, mip=2)

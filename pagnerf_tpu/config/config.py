@@ -233,6 +233,15 @@ FLAG_GROUPS: Dict[str, list] = {
         ("valid-every", int, -1, None, None),
         ("valid-split", str, "val", None, None),
     ],
+    # interactive-viewer equivalents (reference app/app.py runs an OpenGL window;
+    # here --viewer serves the same channels + click-to-embedding-distance over
+    # HTTP, and --render-views runs the offline orbit renderer)
+    "app": [
+        ("render-views", B, False, None, None),
+        ("render-views-dir", str, "", None, None),
+        ("viewer", B, False, None, None),
+        ("viewer-port", int, 8080, None, None),
+    ],
     "renderer": [
         ("render-res", int, [512, 512], None, 2),
         ("render-batch", int, 0, None, None),

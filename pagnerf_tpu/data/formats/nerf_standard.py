@@ -16,14 +16,19 @@ import numpy as np
 from ...core.camera import PinholeIntrinsics, view_from_c2w
 
 
-def _load_image(path: str) -> np.ndarray:
+def _load_image(path: str, mip: int = 0) -> np.ndarray:
     from PIL import Image
     img = Image.open(path)
+    if mip > 0:
+        s = 1 << mip
+        # real resize, not stride subsampling (aliasing biases PSNR) — the
+        # reference also reloads per-mip with a proper resize
+        img = img.resize((img.width // s, img.height // s), Image.LANCZOS)
     return np.asarray(img, np.float32) / 255.0
 
 
 def load_nerf_standard(root: str, split: str = "train", mip: int = 0,
-                       bg_color: str = "white") -> Dict:
+                       bg_color: str = "white", num_workers: int = 8) -> Dict:
     root = Path(root).expanduser()
     tforms = None
     for cand in (f"transforms_{split}.json", "transforms.json"):
@@ -35,19 +40,24 @@ def load_nerf_standard(root: str, split: str = "train", mip: int = 0,
     with open(tforms) as f:
         meta = json.load(f)
 
-    imgs, poses = [], []
+    # resolve frame paths first, then decode images in parallel (the reference
+    # uses a multiprocessing pool, nerf_standard.py:142-162; threads suffice here
+    # since PIL decode/resize release the GIL, and they avoid fork-vs-JAX hazards)
+    paths, poses = [], []
     for frame in meta["frames"]:
         fp = root / frame["file_path"]
         if not fp.suffix:
             fp = fp.with_suffix(".png")
         if not fp.exists():
             continue
-        img = _load_image(str(fp))
-        if mip > 0:
-            s = 1 << mip
-            img = img[::s, ::s]
-        imgs.append(img)
+        paths.append(str(fp))
         poses.append(np.asarray(frame["transform_matrix"], np.float32))
+    if len(paths) > 1 and num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(num_workers, len(paths))) as pool:
+            imgs = list(pool.map(lambda p: _load_image(p, mip), paths))
+    else:
+        imgs = [_load_image(p, mip) for p in paths]
     if not imgs:
         raise FileNotFoundError(f"no frames found under {root}")
     imgs = np.stack(imgs)

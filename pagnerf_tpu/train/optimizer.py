@@ -128,24 +128,37 @@ def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformatio
     return optax.multi_transform({g: _group_tx(cfg, g) for g in GROUPS}, labels)
 
 
+def _kp_str(kp) -> str:
+    parts = []
+    for k in kp:
+        for attr in ("key", "idx", "name"):
+            if hasattr(k, attr):
+                parts.append(str(getattr(k, attr)))
+                break
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
 def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
                   frozen_fn: Optional[Callable[[str], bool]] = None):
-    """Apply ``tx`` with frozen-parameter semantics: for leaves whose path satisfies
-    ``frozen_fn``, both the incoming gradient and the final update are zeroed, so the
-    parameter is bit-identical across the frozen stage (equivalent in effect to torch
-    requires_grad=False, reference trainer.py:308,318-326; Adam moments for frozen
-    leaves decay on zero grads, which only matters after unfreezing and washes out in
-    a few steps)."""
+    """Apply ``tx`` with EXACT frozen-parameter semantics, equivalent to torch
+    requires_grad=False (reference trainer.py:308,318-326): for leaves whose path
+    satisfies ``frozen_fn``,
+      * the incoming gradient and the final update are zeroed (parameter
+        bit-identical across the frozen stage), and
+      * the optimizer *state* entries for those leaves (Adam moments etc.) are
+        restored to their pre-update values, so momenta do not decay on the zero
+        gradients and the leaf resumes after unfreezing exactly as if the frozen
+        steps never happened.
+    Per-group scalar step counts still advance (they are shared across a group and
+    drive lr schedules, which torch also keeps running during freezes)."""
     if frozen_fn is not None:
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-        def path_str(kp):
-            return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-
-        frozen_paths = {path_str(kp) for kp, _ in flat if frozen_fn(path_str(kp))}
+        frozen_paths = {_kp_str(kp) for kp, _ in flat if frozen_fn(_kp_str(kp))}
 
         def zero_frozen(kp, g):
-            return jnp.zeros_like(g) if path_str(kp) in frozen_paths else g
+            return jnp.zeros_like(g) if _kp_str(kp) in frozen_paths else g
 
         if frozen_paths:
             grads = jax.tree_util.tree_map_with_path(zero_frozen, grads)
@@ -154,4 +167,16 @@ def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
 
     if frozen_fn is not None and frozen_paths:
         updates = jax.tree_util.tree_map_with_path(zero_frozen, updates)
+        # Moment trees inside the state (e.g. ScaleByAdamState.mu/nu) embed the
+        # param tree, so a state leaf belonging to a frozen param has its param
+        # path as a suffix of its own key path. Restore those leaves from the
+        # pre-update state; scalar counts match no param path and keep advancing.
+        suffixes = tuple("/" + fp for fp in frozen_paths)
+
+        def restore(kp, new_leaf, old_leaf):
+            p = _kp_str(kp)
+            return old_leaf if (p in frozen_paths or p.endswith(suffixes)) \
+                else new_leaf
+
+        new_state = jax.tree_util.tree_map_with_path(restore, new_state, opt_state)
     return updates, new_state

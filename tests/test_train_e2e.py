@@ -68,14 +68,25 @@ def test_full_panoptic_step_runs_and_stays_finite():
 
 def test_val_pose_stage_freezes_nef():
     trainer, ds = make_trainer(optimize_val_extrinsics=True,
-                               val_extrinsics_start=0, val_extrinsics_every=1)
+                               val_extrinsics_start=0, val_extrinsics_every=2)
     stage = trainer.stage_for_epoch(2)
     assert stage.training_val_poses
-    before = jax.tree_leaves_sum = None
+    assert not trainer.stage_for_epoch(1).training_val_poses
     import jax as _jax
+
+    def state_by_path(state):
+        from pagnerf_tpu.train.optimizer import _kp_str
+        flat = _jax.tree_util.tree_flatten_with_path(state)[0]
+        return {_kp_str(kp): np.asarray(leaf) for kp, leaf in flat
+                if hasattr(leaf, "shape")}
+
+    # warm the optimizer state with one unfrozen step so moments are nonzero
+    rng = np.random.default_rng(2)
+    trainer.train_step(trainer.stage_for_epoch(1),
+                       trainer.dataset.sample_batch(rng, 2, 64))
     nef_before = _jax.tree.map(lambda x: x.copy(), trainer.params["nef"])
     ext_before = trainer.params["extrinsics"].copy()
-    rng = np.random.default_rng(2)
+    opt_before = state_by_path(trainer.opt_state)
     batch = trainer.dataset.sample_batch(rng, 2, 64, split="val")
     trainer.train_step(stage, batch)
     # nef params bit-identical; extrinsics of sampled val cameras moved
@@ -83,6 +94,18 @@ def test_val_pose_stage_freezes_nef():
                           nef_before, trainer.params["nef"])
     assert sum(_jax.tree.leaves(diffs)) == 0.0
     assert float(jnp.abs(ext_before - trainer.params["extrinsics"]).sum()) > 0.0
+    # optimizer STATE for frozen leaves is bit-identical too (exact torch
+    # requires_grad=False semantics, reference trainer.py:308,318-326): Adam
+    # moments must not decay on the zeroed gradients during the frozen stage.
+    opt_after = state_by_path(trainer.opt_state)
+    nef_keys = [k for k in opt_before if "/nef/" in k and "count" not in k]
+    assert nef_keys, "expected nef moment leaves in the optimizer state"
+    warmed = any(np.abs(opt_before[k]).sum() > 0 for k in nef_keys)
+    assert warmed, "warm-up step left all nef moments zero"
+    for k in nef_keys:
+        np.testing.assert_array_equal(
+            opt_before[k], opt_after[k],
+            err_msg=f"frozen optimizer state changed: {k}")
 
 
 def test_prune_shrinks_occupancy():
