@@ -78,6 +78,11 @@ FLAG_GROUPS: Dict[str, list] = {
     ],
     "net": [
         ("nef-type", str, None, None, None),
+        # bf16 compute (grids + decoder MLPs) — the TPU equivalent of the
+        # reference's AMP autocast+GradScaler training (reference
+        # pc_nerf/trainer.py:429,582-584; grids/permuto_grid.py:65). Master
+        # params, losses and channel outputs stay fp32.
+        ("compute-dtype", str, "float32", ["float32", "bfloat16"], None),
         ("layer-type", str, "none", None, None),
         ("activation-type", str, "relu", None, None),
         ("decoder-type", str, "basic", ["none", "basic"], None),
@@ -140,6 +145,11 @@ FLAG_GROUPS: Dict[str, list] = {
         ("samples-per-voxel", int, 256, None, None),
         ("voxel-raymarch-epoch-start", int, -1, None, None),
         ("multiview-dataset-format", str, "standard", None, None),
+        # synthetic-scene size knobs (test/convergence scenes only; no reference
+        # counterpart — the reference has no synthetic dataset at all)
+        ("synthetic-num-views", int, 8, None, None),
+        ("synthetic-res", int, [40, 30], None, 2),
+        ("synthetic-num-spheres", int, 4, None, None),
         ("num-rays-sampled-per-img", int, 4096, None, None),
         ("bg-color", str, "white", ["white", "black"], None),
         ("mip", int, None, None, None),

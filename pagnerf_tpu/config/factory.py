@@ -53,6 +53,7 @@ def grid_config_from_args(args, delta: bool = False) -> GridConfig:
         finest_scale=args.finest_scale,
         log2_table_size=max(args.codebook_bitwidth, 4)
         if hasattr(args, "codebook_bitwidth") else 19,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
         base_lod=args.base_lod,
     )
 
@@ -61,7 +62,11 @@ def load_dataset(args) -> MultiviewDataset:
     fmt = args.multiview_dataset_format
     if fmt in ("synthetic",):
         from ..data.synthetic import make_dataset
-        data = make_dataset(pose_noise=args.pose_noise_strength
+        res = getattr(args, "synthetic_res", None) or [40, 30]
+        data = make_dataset(num_views=getattr(args, "synthetic_num_views", 8),
+                            width=int(res[0]), height=int(res[1]),
+                            num_spheres=getattr(args, "synthetic_num_spheres", 4),
+                            pose_noise=args.pose_noise_strength
                             if args.add_noise_to_train_poses else 0.0)
     elif fmt == "bup20":
         from ..data.formats.bup20 import load_bup20
@@ -104,6 +109,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         multiscale_type=args.multiscale_type,
         view_multires=args.view_multires, pos_multires=args.pos_multires,
         embedder_type=args.embedder_type,
+        compute_dtype_name=getattr(args, "compute_dtype", "float32"),
     )
     if issubclass(nef_cls, PanopticDeltaNeF):
         nef_kwargs["delta_grid"] = grid_config_from_args(args, delta=True)
@@ -153,7 +159,10 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         voxel_raymarch_epoch_start=(args.voxel_raymarch_epoch_start
                                     if args.voxel_raymarch_epoch_start > 0
                                     else 10 ** 9),
-        samples_per_voxel=args.samples_per_voxel,
+        # NOT args.samples_per_voxel: that flag is SDF-grid-initialisation-only in
+        # the reference (config_parser.py:262, used only at line 748); its default
+        # of 256 would make the voxel stage march 256*128 steps/ray (a 34 GB
+        # program). Voxel marching uses the TrainerConfig default (2 per voxel).
         grid_tvl1_reg=args.grid_tvl1_reg, grid_tvl2_reg=args.grid_tvl2_reg,
         delta_grid_tvl1_reg=args.delta_grid_tvl1_reg,
         delta_grid_tvl2_reg=args.delta_grid_tvl2_reg,

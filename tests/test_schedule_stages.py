@@ -1,0 +1,90 @@
+"""The compressed full-schedule config (configs/synthetic/schedule.yaml) must
+exercise every stage transition of the reference's best.yaml regime
+(reference pc_nerf/trainer.py:302-366): prune epochs, the ray->voxel raymarch
+switch, post-prune sample compaction, sem/inst head activation, alternating
+frozen val-pose epochs, and LoD annealing."""
+import numpy as np
+
+from pagnerf_tpu.config.config import parse_options
+from pagnerf_tpu.config.factory import get_modules_from_config
+
+SHRINK = [  # keep the stage *schedule* but shrink the compute for CPU
+    "--capacity-log-2", "10", "--delta-capacity-log-2", "10",
+    "--num-lods", "4", "--hidden-dim", "16",
+    "--num-rays-sampled-per-img", "16", "--render-batch", "64",
+    "--synthetic-res", "24", "18", "--synthetic-num-views", "6",
+]
+
+
+def build():
+    args = parse_options(["--config", "configs/synthetic/schedule.yaml"] + SHRINK)
+    _, _, trainer = get_modules_from_config(args)
+    return trainer
+
+
+def test_schedule_exercises_every_transition():
+    trainer = build()
+    cfg = trainer.cfg
+    stages = {e: trainer.stage_for_epoch(e) for e in range(cfg.epochs)}
+
+    # 1. rgb-only warmup on ray marching, no compaction
+    assert stages[0].channels == frozenset({"rgb"})
+    assert stages[0].raymarch_type == "ray" and stages[0].compact_steps == 0
+
+    # 2. prune epochs fire (prune_every), incl. before the voxel switch — the
+    #    first prune lands 1/3 through, matching the reference's 201/800 pacing
+    #    (pruning an unconverged density field wipes the scene)
+    prune_epochs = [e for e in range(cfg.epochs) if trainer.should_prune(e)]
+    assert prune_epochs and prune_epochs[0] == cfg.prune_every
+    assert len(prune_epochs) >= 2
+    assert cfg.prune_every >= cfg.epochs // 4
+
+    # 3. ray->voxel switch right after the first prune
+    sw = cfg.voxel_raymarch_epoch_start
+    assert sw == cfg.prune_every
+    assert stages[sw].raymarch_type == "ray"
+    assert stages[sw + 1].raymarch_type == "voxel"
+    assert stages[sw + 1].num_steps == cfg.samples_per_voxel * 128
+    # regression: the SDF-only --samples-per-voxel flag (default 256) must NOT
+    # leak into voxel marching (256*128 steps/ray was a 34 GB program)
+    assert cfg.samples_per_voxel == 2 and stages[sw + 1].num_steps == 256
+
+    # 4. post-prune sample compaction activates in stages built after a prune
+    trainer._pruned = True
+    post = trainer.stage_for_epoch(sw + 1)
+    assert post.compact_steps == post.num_steps // 4
+    trainer._pruned = False
+
+    # 5. sem/inst heads activate after sem_epoch_start (a val-pose epoch
+    #    suppresses the heads, so take the first eligible non-val-pose epoch)
+    s0 = cfg.sem_epoch_start
+    first_pan = next(e for e in range(s0, cfg.epochs)
+                     if not stages[e].training_val_poses)
+    assert not stages[s0 - 1].use_sem and not stages[s0 - 1].use_inst
+    assert stages[first_pan].use_sem and stages[first_pan].use_inst
+    assert {"rgb", "semantics", "inst_embedding",
+            "depth"} <= set(stages[first_pan].channels)
+
+    # 6. alternating frozen val-pose epochs
+    val_pose_epochs = [e for e, s in stages.items() if s.training_val_poses]
+    expect = [e for e in range(cfg.val_extrinsics_start, cfg.epochs)
+              if e % cfg.val_extrinsics_every == 0]
+    assert val_pose_epochs == expect and len(val_pose_epochs) >= 3
+    for e in val_pose_epochs:
+        assert stages[e].channels == frozenset({"rgb"})  # heads off while frozen
+
+    # 7. LoD annealing enabled and produces evolving weights across the schedule
+    assert cfg.lod_anneling
+    from pagnerf_tpu.utils.lod_annealing import lod_weights
+    g = trainer.pipeline.nef.grid
+    w_early = lod_weights(0, g.num_lods, g.feature_dim,
+                          cfg.lod_annel_epochs, trainer.steps_per_epoch)
+    w_late = lod_weights(cfg.lod_annel_epochs * trainer.steps_per_epoch,
+                         g.num_lods, g.feature_dim,
+                         cfg.lod_annel_epochs, trainer.steps_per_epoch)
+    assert np.sum(w_early) < np.sum(w_late)  # coarse-to-fine ramp
+    assert np.all(w_late > 0.95)  # tanh window is asymptotic, not exactly 1
+
+    # 8. final epochs: voxel marching, all heads, full channel set
+    last = stages[cfg.epochs - 1]
+    assert last.raymarch_type == "voxel" and last.use_sem and last.use_inst
