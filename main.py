@@ -47,7 +47,8 @@ def main(argv=None):
     log.info("total number of parameters: %d", n_params)
 
     if args.valid_only:
-        metrics = validate(trainer, trainer.epoch, log_dir=log_dir)
+        metrics = validate(trainer, trainer.epoch, log_dir=log_dir,
+                           split=args.valid_split)
         log.info("validation: %s", metrics)
         return metrics
 

@@ -241,8 +241,11 @@ def append_metrics_csv(path: str, row: Dict):
         writer.writerow(row)
 
 
-def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None) -> Dict[str, float]:
-    """Full validation pass (reference validate, trainer.py:943-999)."""
+def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None,
+             split: str = "val") -> Dict[str, float]:
+    """Full validation pass (reference validate, trainer.py:943-999).
+    ``split`` honours the --valid-split flag ('val' default; 'train' evaluates
+    the training views, e.g. for overfit/pose-drift diagnosis)."""
     clustering = None
     if getattr(trainer.pipeline.nef, "use_clustering", False) and \
             epoch >= trainer.cfg.inst_epoch_start:
@@ -259,7 +262,7 @@ def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None) -> Dict[str
     # full-res final validation unless low_res_val (trainer.py:972-976)
     if epoch >= trainer.cfg.epochs and not trainer.cfg.low_res_val:
         mip = 0
-    data = trainer.dataset.get_images(split="val", mip=mip)
+    data = trainer.dataset.get_images(split=split, mip=mip)
     log.info("validation: %d images at %dx%d", data["imgs"].shape[0],
              data["imgs"].shape[2], data["imgs"].shape[1])
     return evaluate_metrics(trainer, epoch, data, clustering=clustering,
