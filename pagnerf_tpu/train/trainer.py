@@ -220,8 +220,20 @@ class PanopticTrainer:
         num_steps = cfg.samples_per_voxel * 128 if voxel else base.num_steps
         compact = 0
         if getattr(self, "_pruned", False) and cfg.compact_steps_after_prune != 0:
-            compact = (cfg.compact_steps_after_prune
-                       if cfg.compact_steps_after_prune > 0 else num_steps // 4)
+            if cfg.compact_steps_after_prune > 0:
+                compact = cfg.compact_steps_after_prune
+            else:
+                # auto: scale the static compacted-sample budget to the measured
+                # occupancy so rays are not truncated when the prune kept a dense
+                # field (compacting 256 -> 64 with 90% cells occupied cuts rays
+                # to a quarter of their span and corrupts training). 2x headroom
+                # over the occupied fraction, floor S/4, rounded up to a multiple
+                # of 16 to keep shapes compile-friendly.
+                frac = getattr(self, "_occ_frac", 0.25)
+                want = int(np.ceil(2.0 * frac * num_steps / 16.0)) * 16
+                compact = min(num_steps, max(num_steps // 4, want))
+                if compact >= num_steps:
+                    compact = 0   # dense field: compaction would not help
         return StageConfig(
             channels=frozenset(channels),
             raymarch_type="voxel" if voxel else base.raymarch_type,
@@ -450,6 +462,7 @@ class PanopticTrainer:
         density = jnp.concatenate(dens)
         self.occ = self.occ.update_from_density(density)
         self._pruned = True   # enables post-prune sample compaction in new stages
+        self._occ_frac = float(self.occ.mask.mean())
         # optimizer re-init after topology change (trainer.py:357-358)
         self.opt_state = self.tx.init(self.params)
         occ_frac = float(self.occ.mask.mean())

@@ -49,11 +49,21 @@ def test_schedule_exercises_every_transition():
     # leak into voxel marching (256*128 steps/ray was a 34 GB program)
     assert cfg.samples_per_voxel == 2 and stages[sw + 1].num_steps == 256
 
-    # 4. post-prune sample compaction activates in stages built after a prune
+    # 4. post-prune sample compaction activates in stages built after a prune,
+    #    with a static budget scaled to the measured occupancy (a dense field
+    #    must not truncate rays; a sparse one compacts aggressively)
     trainer._pruned = True
+    trainer._occ_frac = 0.10
     post = trainer.stage_for_epoch(sw + 1)
-    assert post.compact_steps == post.num_steps // 4
+    assert post.compact_steps == post.num_steps // 4          # sparse: floor S/4
+    trainer._occ_frac = 0.45
+    post = trainer.stage_for_epoch(sw + 1)
+    assert post.num_steps // 4 < post.compact_steps < post.num_steps
+    trainer._occ_frac = 0.95
+    post = trainer.stage_for_epoch(sw + 1)
+    assert post.compact_steps == 0                            # dense: no benefit
     trainer._pruned = False
+    del trainer._occ_frac
 
     # 5. sem/inst heads activate after sem_epoch_start (a val-pose epoch
     #    suppresses the heads, so take the first eligible non-val-pose epoch)
