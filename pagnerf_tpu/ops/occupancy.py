@@ -94,10 +94,27 @@ class OccupancyGrid:
 
     def update_from_density(self, density: jnp.ndarray,
                             decay: float = DENSITY_DECAY,
-                            min_density: float = MIN_DENSITY) -> "OccupancyGrid":
+                            min_density: float = MIN_DENSITY,
+                            dilate: int = 0) -> "OccupancyGrid":
         """Prune step: occ <- max(density_at_jittered_cell_points, occ * decay);
         mask <- occ > min_density (reference panoptic_delta_nef.py:74-92).
-        ``density`` is [res^3], ordered to match ``cell_centers_jittered``."""
+        ``density`` is [res^3], ordered to match ``cell_centers_jittered``.
+
+        ``dilate``: optional morphological expansion of the mask by N cells
+        (3^3 max-pool per step). A thin surface whose jittered sample lands in
+        the cell's empty part gets pruned and can never recover (marching skips
+        dead cells) — a 1-cell margin keeps surface neighbourhoods alive so the
+        field can keep refining surface positions after the prune. The reference
+        has no dilation (its prune fires late enough that surfaces are dense
+        through whole cells); disabled when 0."""
         new_occ = jnp.maximum(self.occupancy * decay, density.reshape(-1))
-        return OccupancyGrid(occupancy=new_occ, mask=new_occ > min_density,
-                             level=self.level)
+        mask = new_occ > min_density
+        if dilate > 0:
+            res = self.res
+            m = mask.reshape(res, res, res).astype(jnp.float32)[None, ..., None]
+            for _ in range(dilate):
+                m = jax.lax.reduce_window(
+                    m, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1),
+                    "SAME")
+            mask = (m[0, ..., 0] > 0).reshape(-1)
+        return OccupancyGrid(occupancy=new_occ, mask=mask, level=self.level)

@@ -80,6 +80,10 @@ class TrainerConfig:
     prune_every: int = 201
     prune_at_epoch: int = -1
     prune_at_start: bool = False
+    # robustness over the reference's single-sample prune (see prune()): max of
+    # K jittered density samples per cell, then a 1-cell mask dilation margin
+    prune_samples_per_cell: int = 4
+    prune_dilate: int = 1
     voxel_raymarch_epoch_start: int = 201
     samples_per_voxel: int = 2
 
@@ -438,9 +442,14 @@ class PanopticTrainer:
     # -------------------------------------------------------------- prune
     def prune(self, chunk: int = 65536):
         """Occupancy maintenance (reference nef.prune + optimizer re-init,
-        trainer.py:336-358, panoptic_delta_nef.py:63-104)."""
-        self._step_key, k = jax.random.split(self._step_key)
-        centers = self.occ.cell_centers_jittered(k)
+        trainer.py:336-358, panoptic_delta_nef.py:63-104).
+
+        Deviation from the reference's single jittered sample per cell: the
+        density is taken as the MAX over ``cfg.prune_samples_per_cell`` jittered
+        points (default 4). One sample misses thin surfaces whose density peak
+        covers a fraction of the cell, permanently punching holes into walls
+        (dead cells are never marched again); extra samples cut the miss
+        probability geometrically for a few seconds of prune-time compute."""
         channels = ("density",)
         if "panoptic_density" in self.pipeline.nef.supported_channels():
             channels = ("density", "panoptic_density")
@@ -455,12 +464,18 @@ class PanopticTrainer:
                 d = jnp.maximum(d, out["panoptic_density"][..., 0])
             return d
 
-        n = centers.shape[0]
-        dens = []
-        for i in range(0, n, chunk):
-            dens.append(density_at(self.params, centers[i:i + chunk]))
-        density = jnp.concatenate(dens)
-        self.occ = self.occ.update_from_density(density)
+        density = None
+        for _ in range(max(1, getattr(self.cfg, "prune_samples_per_cell", 4))):
+            self._step_key, k = jax.random.split(self._step_key)
+            centers = self.occ.cell_centers_jittered(k)
+            n = centers.shape[0]
+            dens = []
+            for i in range(0, n, chunk):
+                dens.append(density_at(self.params, centers[i:i + chunk]))
+            d = jnp.concatenate(dens)
+            density = d if density is None else jnp.maximum(density, d)
+        self.occ = self.occ.update_from_density(
+            density, dilate=getattr(self.cfg, "prune_dilate", 1))
         self._pruned = True   # enables post-prune sample compaction in new stages
         self._occ_frac = float(self.occ.mask.mean())
         # optimizer re-init after topology change (trainer.py:357-358)
