@@ -231,13 +231,25 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
 
 
 def append_metrics_csv(path: str, row: Dict):
-    """metrics.csv append (reference trainer.py:993-999)."""
+    """metrics.csv append (reference trainer.py:993-999).
+
+    Validation passes at different epochs report different metric sets (early
+    rgb-only vals have no PQ columns); when a row introduces new columns the
+    file is rewritten with the merged header so the CSV stays rectangular."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    exists = os.path.exists(path)
-    with open(path, "a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=sorted(row.keys()))
-        if not exists:
-            writer.writeheader()
+    if os.path.exists(path):
+        with open(path, newline="") as f:
+            reader = csv.DictReader(f)
+            old_fields = list(reader.fieldnames or [])
+            old_rows = list(reader)
+    else:
+        old_fields, old_rows = [], []
+    fields = old_fields + sorted(k for k in row.keys() if k not in old_fields)
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fields, restval="")
+        writer.writeheader()
+        for r in old_rows:
+            writer.writerow(r)
         writer.writerow(row)
 
 
