@@ -38,9 +38,15 @@ def default_scene(num_spheres: int = 4, seed: int = 0) -> SphereScene:
 
 
 def _ring_c2w(idx: int, num: int, radius: float = 2.2, height: float = 0.4) -> np.ndarray:
-    """Camera-to-world pose on a ring, GL convention (camera looks down -z at origin)."""
+    """Camera-to-world pose on an undulating ring, GL convention (camera looks
+    down -z at the origin). Height and radius vary sinusoidally around the ring:
+    a constant-height ring is a 1-D viewpoint manifold with no vertical parallax,
+    which leaves the backdrop ill-constrained vertically and caps novel-view
+    quality regardless of training (real robot sequences move in 2+ dims too)."""
     ang = 2 * np.pi * idx / num
-    eye = np.array([radius * np.cos(ang), height, radius * np.sin(ang)])
+    h = height + 0.35 * np.sin(3.0 * ang)
+    r = radius + 0.15 * np.cos(2.0 * ang)
+    eye = np.array([r * np.cos(ang), h, r * np.sin(ang)])
     fwd = -eye / np.linalg.norm(eye)                 # toward origin
     up = np.array([0.0, 1.0, 0.0])
     right = np.cross(fwd, up); right /= np.linalg.norm(right)

@@ -148,3 +148,20 @@ def test_occupancy_prune_update():
     assert float(new.occupancy[0]) == 10.0
     # only the dense cell survives the threshold (10 > 2.96 > 0)
     assert bool(new.mask[0]) and not bool(new.mask[1:].any())
+
+
+def test_occupancy_prune_dilation():
+    """dilate=1 keeps the 3^3 neighbourhood of a surviving cell alive (surface
+    margin so thin walls can refine after the prune; trainer prune_dilate)."""
+    occ = OccupancyGrid.create(level=2)
+    res = occ.res
+    center = (res // 2, res // 2, res // 2)
+    flat = np.ravel_multi_index(center, (res, res, res))
+    density = jnp.zeros((res ** 3,)).at[flat].set(10.0)
+    new = occ.update_from_density(density, dilate=1)
+    mask = np.asarray(new.mask).reshape(res, res, res)
+    cz, cy, cx = center
+    assert mask[cz - 1:cz + 2, cy - 1:cy + 2, cx - 1:cx + 2].all()
+    assert mask.sum() == 27   # exactly the one-cell margin, nothing else
+    # occupancy values are NOT dilated — only the visibility mask
+    assert float(new.occupancy.sum()) == 10.0
