@@ -570,12 +570,20 @@ class PanopticTrainer:
     # ----------------------------------------------------------- rendering
     def batch_render(self, rays: Rays, channels, cam_idx=None,
                      stage_cfg: Optional[StageConfig] = None):
-        """Chunked full-image render (reference batch_render, trainer.py:637-649)."""
+        """Chunked full-image render (reference batch_render, trainer.py:637-649).
+
+        Renders follow the CURRENT training stage's raymarch settings by default:
+        after the ray->voxel switch the training regime marches ~3x denser steps
+        and learns correspondingly thinner surfaces; rendering with the coarse
+        base sampling under-samples those surfaces (rays alias straight through
+        thin walls -> mottled renders, ~1-4 dB of val PSNR). The reference
+        renders through the same tracer state it trains with."""
         from ..core.render_buffer import RenderBuffer
         cfg = self.pipeline.tracer_cfg
-        if stage_cfg is not None:
-            cfg = dataclasses.replace(cfg, raymarch_type=stage_cfg.raymarch_type,
-                                      num_steps=stage_cfg.num_steps)
+        if stage_cfg is None:
+            stage_cfg = self.stage_for_epoch(max(self.epoch - 1, 0))
+        cfg = dataclasses.replace(cfg, raymarch_type=stage_cfg.raymarch_type,
+                                  num_steps=stage_cfg.num_steps)
         flat = rays.flatten()
         n = flat.origins.shape[0]
         rbatch = self.cfg.render_batch
