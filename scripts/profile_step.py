@@ -1,11 +1,12 @@
 """Per-phase timing of the POST-PRUNE flagship train step (the bench headline).
 
-Decomposes the step into isolated jitted sub-programs, each timed with EVOLVING
-inputs and consumed outputs (axon result-caching reads as 1000x wins otherwise —
-PERFORMANCE.md): the dual-grid encoding VJP, its forward alone, the MXU scatter
-alone at matched event counts, the decoder MLP grad at matched sample counts, and
-the full train step. Differences between these bound what raymarch/compaction/
-compositing/losses cost. Prints a table to stderr and one JSON line to stdout.
+Decomposes the step into isolated jitted sub-programs. MEASUREMENT DISCIPLINE
+(PERFORMANCE.md): the axon runtime returns cached results for repeated program
+launches even with fresh random inputs — phase timings are only trustworthy when
+each iteration's INPUTS DEPEND ON the previous iteration's OUTPUTS (a real
+sequential dependency chain, like a train loop's evolving params). Every phase
+here is an update loop: the measured program's output feeds back into its own
+parameters.
 
 Usage (TPU): python scripts/profile_step.py
 Knobs: PROF_ITERS (default 4), BENCH_* as in bench.py for scale.
@@ -17,28 +18,16 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def note(msg):
     print(f"# profile: {msg}", file=sys.stderr, flush=True)
 
 
-def timed(fn, make_args, iters, consume):
-    """Median of ``iters`` timed calls, fresh args each call, output consumed."""
-    ts = []
-    for i in range(iters):
-        args = make_args(i)
-        t0 = time.perf_counter()
-        out = fn(*args)
-        consume(out)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
-
-
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from pagnerf_tpu.ops.permuto_encoding import PermutoEncodingSpec
 
@@ -49,6 +38,8 @@ def main():
     cap_log2 = int(os.environ.get("BENCH_CAP_LOG2", 18))
     n = rays * compact                        # samples through the NeF post-prune
     f = 2
+    v = 4
+    cap = 1 << cap_log2
     note(f"post-prune sample count N={n} ({rays} rays x {compact} compacted), "
          f"L={num_lods}, C=2^{cap_log2}")
 
@@ -57,89 +48,99 @@ def main():
                                finest_scale=1e-4)
     key = jax.random.PRNGKey(0)
     ka, kb, kc = jax.random.split(key, 3)
-    ta = spec.init(ka)
-    tb = spec.init(kb)
+    coords0 = jax.random.uniform(kc, (3, n), minval=-1.0, maxval=1.0)
 
-    def consume(x):
-        jax.block_until_ready(x)
+    def loop(step_fn, state, label):
+        """Evolving-state timing: state feeds back through the measured program.
+        Completion is forced by a HOST READ of the evolved state — on axon,
+        block_until_ready returns without waiting for the async stream."""
+        def consume(s):
+            return float(jnp.asarray(jax.tree.leaves(s)[0]).ravel()[:8].sum())
 
-    def coords(i):
-        return jax.random.uniform(jax.random.PRNGKey(i), (3, n),
-                                  minval=-1.0, maxval=1.0)
+        state = step_fn(state)                     # compile + warmup
+        consume(state)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = step_fn(state)
+        consume(state)                             # syncs the whole chain
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        note(f"{label}: {dt:.0f} ms/iter")
+        return dt
 
-    # ---- 1. dual encoding forward ----------------------------------------
+    # ---- 1. dual encoding FWD only (tables evolve from the features) -------
     @jax.jit
-    def enc_fwd(ta, tb, c):
-        a, b = spec.encode_dual_T(ta, tb, c, jnp.bfloat16)
-        return a.sum() + b.sum()
+    def fwd_step(state):
+        ta, tb, coords = state
+        a, b = spec.encode_dual_T(ta, tb, coords, jnp.bfloat16)
+        bump = (a.astype(jnp.float32).mean() + b.astype(jnp.float32).mean())
+        return ta + bump * 1e-6, tb - bump * 1e-6, coords
 
-    t_fwd = timed(enc_fwd, lambda i: (ta, tb, coords(i)), iters, consume)
-    note(f"dual encode FWD: {t_fwd * 1e3:.0f} ms")
+    t_fwd = loop(fwd_step, (spec.init(ka), spec.init(kb), coords0),
+                 "dual encode FWD")
 
-    # ---- 2. dual encoding fwd+bwd (the table-gradient path) ---------------
+    # ---- 2. dual encoding FWD+BWD (params descend their own gradient) ------
     @jax.jit
-    def enc_vjp(ta, tb, c):
+    def vjp_step(state):
+        ta, tb, coords = state
         def f_(ta_, tb_):
-            a, b = spec.encode_dual_T(ta_, tb_, c, jnp.bfloat16)
-            return (a.astype(jnp.float32).sum() + b.astype(jnp.float32).sum())
-        g = jax.grad(f_, argnums=(0, 1))(ta, tb)
-        return g[0].sum() + g[1].sum()
+            a, b = spec.encode_dual_T(ta_, tb_, coords, jnp.bfloat16)
+            return (a.astype(jnp.float32) ** 2).mean() + \
+                   (b.astype(jnp.float32) ** 2).mean()
+        ga, gb = jax.grad(f_, argnums=(0, 1))(ta, tb)
+        return ta - 1e-3 * ga, tb - 1e-3 * gb, coords
 
-    t_vjp = timed(enc_vjp, lambda i: (ta, tb, coords(i)), iters, consume)
-    note(f"dual encode FWD+BWD: {t_vjp * 1e3:.0f} ms "
-         f"(bwd-only ~{(t_vjp - t_fwd) * 1e3:.0f} ms)")
+    t_vjp = loop(vjp_step, (spec.init(ka), spec.init(kb), coords0),
+                 "dual encode FWD+BWD")
 
-    # ---- 3. the MXU scatter alone at matched event counts -----------------
+    # ---- 3. MXU dual scatter alone, event stream derived from prior output -
     from pagnerf_tpu.ops.pallas_scatter import table_grad_matmul_dual
-    v = 4
-    cap = 1 << cap_log2
 
     @jax.jit
-    def scatter_only(idx, bary, g_a, g_b):
+    def scatter_step(state):
+        seed_tab, idx, bary = state
+        g_a = jnp.broadcast_to(seed_tab[:, 0][:, :, None], (num_lods, f, n))
+        g_b = g_a + 1.0
+
         def body(_, lvl):
-            i, b, ga, gb = lvl
-            da, db = table_grad_matmul_dual(i, b, ga, gb, cap, f)
-            return None, (da.sum(), db.sum())
-        _, (sa, sb) = jax.lax.scan(
-            body, None, (idx, bary, g_a, g_b))
-        return sa.sum() + sb.sum()
+            i_l, b_l, ga_l, gb_l = lvl
+            return None, table_grad_matmul_dual(i_l, b_l, ga_l, gb_l, cap, f)
 
-    def scatter_args(i):
-        k = jax.random.PRNGKey(100 + i)
-        k1, k2, k3, k4 = jax.random.split(k, 4)
-        idx = jax.random.randint(k1, (num_lods, v, n), 0, cap, jnp.int32)
-        bary = jax.random.uniform(k2, (num_lods, v, n))
-        g_a = jax.random.uniform(k3, (num_lods, f, n))
-        g_b = jax.random.uniform(k4, (num_lods, f, n))
-        return idx, bary, g_a, g_b
+        _, (da, db) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
+        # fold the scatter result back into next iteration's values and indices
+        new_seed = seed_tab + da * 1e-6
+        new_idx = (idx + 1) % cap
+        return new_seed, new_idx, bary
 
-    t_scat = timed(scatter_only, scatter_args, iters, consume)
-    note(f"MXU dual scatter x{num_lods} levels: {t_scat * 1e3:.0f} ms "
-         f"({num_lods * v * n / 1e6:.1f}M events/table)")
+    k1, k2 = jax.random.split(ka)
+    st0 = (jnp.zeros((num_lods, cap, f)).at[:, :, :].set(0.5),
+           jax.random.randint(k1, (num_lods, v, n), 0, cap, jnp.int32),
+           jax.random.uniform(k2, (num_lods, v, n)))
+    t_scat = loop(scatter_step, st0, f"MXU dual scatter x{num_lods} levels "
+                  f"({num_lods * v * n / 1e6:.0f}M events/table)")
 
-    # ---- 4. decoder MLP grad at matched sample counts ----------------------
+    # ---- 4. decoder MLP grad at matched sample counts (params descend) -----
     from pagnerf_tpu.models.decoder import BasicDecoder
     dec = BasicDecoder(output_dim=16, hidden_dim=64, num_layers=1,
                        compute_dtype=jnp.bfloat16)
-    feats0 = jax.random.uniform(kc, (num_lods * f, n))   # [Cin, N] feature-major
+    feats0 = jax.random.uniform(kc, (num_lods * f, n))
 
     @jax.jit
-    def mlp_grad(p, x):
+    def mlp_step(state):
+        p, x = state
         def f_(p_):
-            return dec.apply(p_, x).sum()
+            return (dec.apply(p_, x) ** 2).mean()
         g = jax.grad(f_)(p)
-        return sum(jnp.sum(l) for l in jax.tree.leaves(g))
+        return jax.tree.map(lambda a, b: a - 1e-3 * b, p, g), x
 
-    dparams = dec.init(kc, feats0)
-    t_mlp = timed(mlp_grad, lambda i: (dparams, feats0 + i), iters, consume)
-    note(f"decoder MLP grad at N={n}: {t_mlp * 1e3:.0f} ms")
+    t_mlp = loop(mlp_step, (dec.init(kc, feats0), feats0),
+                 f"decoder MLP grad at N={n}")
 
     print(json.dumps({
         "n_samples": n, "levels": num_lods,
-        "enc_fwd_ms": round(t_fwd * 1e3, 1),
-        "enc_vjp_ms": round(t_vjp * 1e3, 1),
-        "scatter_ms": round(t_scat * 1e3, 1),
-        "mlp_grad_ms": round(t_mlp * 1e3, 1),
+        "enc_fwd_ms": round(t_fwd, 1),
+        "enc_vjp_ms": round(t_vjp, 1),
+        "scatter_ms": round(t_scat, 1),
+        "mlp_grad_ms": round(t_mlp, 1),
     }), flush=True)
 
 
