@@ -191,7 +191,8 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
                            g_a: jnp.ndarray, g_b: jnp.ndarray,
                            capacity: int, feature_dim: int,
                            event_chunk: int = 768,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           rows_used: int = 0):
     """Table gradients for TWO tables sharing indices, via one fused MXU scatter.
 
     idx [V, N]; bary [V, N]; g_a/g_b [F, N] cotangents of the two gathers.
@@ -201,11 +202,19 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
     the event-stream passes; the dot does the same total MXU work in one issue.
     Default event_chunk is 768 (vs 1024 single): the [MB, R] one-hot plus the
     [R, 256] accumulator must fit VMEM together.
+
+    ``rows_used`` > 0 bounds the scatter to the first ``rows_used`` packed rows:
+    for direct-indexed (non-hashed) coarse encoding levels every event row is
+    provably < rows_used, so the one-hot build and the MXU dot shrink
+    proportionally (the dominant cost is M x R x lanes FLOPs). Rows beyond the
+    bound get zero gradient by construction and are zero-padded on return.
     """
     v, n = idx.shape
     f = feature_dim
     epr = LANES // f
-    rows = (capacity * f) // LANES
+    rows_full = (capacity * f) // LANES
+    rows = min(rows_used, rows_full) if rows_used > 0 else rows_full
+    rows = max(8, -(-rows // 8) * 8)          # sublane-aligned kernel shape
     row_idx = (idx // epr).reshape(-1)                        # [M]
     lane0 = ((idx % epr) * f).reshape(-1)                     # [M]
     bg_a = (bary[:, None, :] * g_a[None, :, :]).transpose(0, 2, 1).reshape(-1, f)
@@ -237,6 +246,8 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
         interpret=interpret,
     )(row_idx.reshape(m, 1).astype(jnp.int32),
       lane0.reshape(m, 1).astype(jnp.int32), bg)
+    if rows < rows_full:
+        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
     return (dpacked[:, :LANES].reshape(capacity, f),
             dpacked[:, LANES:].reshape(capacity, f))
 
@@ -244,19 +255,23 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
 def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
                       capacity: int, feature_dim: int,
                       event_chunk: int = 1024,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      rows_used: int = 0) -> jnp.ndarray:
     """Per-level table gradient via the fused MXU scatter.
 
     idx [V, N] table entries; bary [V, N]; g [F, N] output cotangent.
     Returns dtable [C, F] f32 = scatter of bary[v,n]*g[f,n] at (idx[v,n], f).
 
     HBM traffic is ~(2 ints + F floats) per event; the [M, 128] lane-spread and
-    the [M, R] one-hot exist only as per-chunk VMEM tiles.
+    the [M, R] one-hot exist only as per-chunk VMEM tiles. ``rows_used`` bounds
+    the scatter for direct-indexed levels (see table_grad_matmul_dual).
     """
     v, n = idx.shape
     f = feature_dim
     epr = LANES // f
-    rows = (capacity * f) // LANES
+    rows_full = (capacity * f) // LANES
+    rows = min(rows_used, rows_full) if rows_used > 0 else rows_full
+    rows = max(8, -(-rows // 8) * 8)
     row_idx = (idx // epr).reshape(-1)                        # [M]
     lane0 = ((idx % epr) * f).reshape(-1)                     # [M]
     bg = (bary[:, None, :] * g[None, :, :]).transpose(0, 2, 1).reshape(-1, f)
@@ -286,4 +301,6 @@ def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
         interpret=interpret,
     )(row_idx.reshape(m, 1).astype(jnp.int32),
       lane0.reshape(m, 1).astype(jnp.int32), bg)
+    if rows < rows_full:
+        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
     return dpacked.reshape(capacity, f)

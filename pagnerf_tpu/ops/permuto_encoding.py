@@ -68,6 +68,52 @@ def _hash_keys_T(keys: jnp.ndarray, log2_capacity: int) -> jnp.ndarray:
     return (h & jnp.uint32((1 << log2_capacity) - 1)).astype(jnp.int32)
 
 
+def direct_level_specs(scales, capacity: int, feature_dim: int):
+    """Per-level direct (collision-free) indexing spec for coords in [-1, 1]^3.
+
+    Every lattice key coordinate of vertex/remainder r is ``4*m + r`` (the
+    rounding to multiples of (d+1)=4 in simplex_vertices_and_weights_T), so a
+    level whose key box fits the table can index entries DIRECTLY as
+    ``r*Dm^3 + flatten(m + Mm)`` with zero collisions instead of hashing —
+    exactly what tcnn does for under-capacity levels (a deliberate deviation
+    from the always-hashing CUDA permuto library; strictly fewer collisions).
+    The analytic key bound K = ceil(max_row_sum|E| / scale) + 8 covers rounding
+    and rank-wrap shifts (verified against dense probes).
+
+    Returns (Mm[L], Dm[L], direct_mask[L], rows_used[L]): per-level m-offset,
+    m-range size, direct flag (Mm=0/Dm=1 for hashed levels so the vectorised
+    index math cannot overflow), and the packed-row bound each direct level's
+    indices can address (0 for hashed levels) — consumed by the MXU scatter to
+    shrink its one-hot/dot (ops/table_gather.py)."""
+    bound_base = float(np.abs(_E).sum(axis=1).max())
+    mm, dm, mask, rows = [], [], [], []
+    for s in np.asarray(scales):
+        k_bound = int(np.ceil(bound_base / float(s))) + 8
+        m_off = k_bound // 4 + 2
+        d = 2 * m_off + 1
+        cells = _VERTS * d ** 3
+        if cells <= capacity:
+            mm.append(m_off); dm.append(d); mask.append(True)
+            rows.append(int(np.ceil(cells * feature_dim / 128.0)))
+        else:
+            mm.append(0); dm.append(1); mask.append(False); rows.append(0)
+    return (np.asarray(mm, np.int32), np.asarray(dm, np.int32),
+            np.asarray(mask), tuple(rows))
+
+
+def _index_keys_T(keys: jnp.ndarray, log2_capacity: int,
+                  mm, dm, direct) -> jnp.ndarray:
+    """Branchless per-level direct-or-hash indexing. keys [V, 3, N] int32;
+    mm/dm/direct are this level's scalars (traced via vmap)."""
+    hashed = _hash_keys_T(keys, log2_capacity)
+    r = jnp.arange(_VERTS, dtype=keys.dtype)[:, None, None]
+    m = jnp.clip((keys - r) // _VERTS, -mm, mm) + mm       # [V, 3, N]
+    lin = (m[:, 0] * dm + m[:, 1]) * dm + m[:, 2]          # [V, N]
+    direct_idx = (jnp.arange(_VERTS, dtype=jnp.int32)[:, None] * dm * dm * dm
+                  + lin).astype(jnp.int32)
+    return jnp.where(direct, direct_idx, hashed)
+
+
 def simplex_vertices_and_weights_T(scaledT: jnp.ndarray):
     """Locate the enclosing lattice simplex of points [3, N] (already divided by the
     level scale) and compute barycentric weights.
@@ -143,21 +189,24 @@ def permuto_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
     log2_c = int(np.log2(capacity))
     assert (1 << log2_c) == capacity, "capacity must be a power of two"
     inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
+    mm, dm, direct, rows_used = direct_level_specs(scales, capacity, feat_dim)
 
     x = coordsT.astype(jnp.float32)                              # [3, N]
     n = x.shape[1]
 
     from .table_gather import multilevel_table_gather
 
-    def level_index(inv_s):
+    def level_index(inv_s, mm_l, dm_l, direct_l):
         keys, bary = simplex_vertices_and_weights_T(x * inv_s)   # [4,3,N], [4,N]
-        return _hash_keys_T(keys, log2_c), bary                  # [4,N], [4,N]
+        return _index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary
 
     # Per-level lattice math is cheap VPU work ([V, N] tensors, sample-minor);
     # the gathers for all levels run as ONE fused op (Pallas kernel on TPU).
-    idx, bary = jax.vmap(level_index)(inv_scales)                # [L, 4, N] x2
+    idx, bary = jax.vmap(level_index)(inv_scales, jnp.asarray(mm),
+                                      jnp.asarray(dm), jnp.asarray(direct))
     per_level = multilevel_table_gather(tables.astype(compute_dtype), idx,
-                                        bary.astype(compute_dtype))  # [L, F, N]
+                                        bary.astype(compute_dtype),
+                                        rows_used=rows_used)     # [L, F, N]
     return per_level.reshape(num_levels * feat_dim, n)
 
 
@@ -185,19 +234,21 @@ def permuto_encode_dual_T(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     assert tables_b.shape == tables_a.shape, "dual encode needs same-spec tables"
     log2_c = int(np.log2(capacity))
     inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
+    mm, dm, direct, rows_used = direct_level_specs(scales, capacity, feat_dim)
     x = coordsT.astype(jnp.float32)
     n = x.shape[1]
 
     from .table_gather import dual_multilevel_table_gather
 
-    def level_index(inv_s):
+    def level_index(inv_s, mm_l, dm_l, direct_l):
         keys, bary = simplex_vertices_and_weights_T(x * inv_s)
-        return _hash_keys_T(keys, log2_c), bary
+        return _index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary
 
-    idx, bary = jax.vmap(level_index)(inv_scales)                # [L, 4, N] x2
+    idx, bary = jax.vmap(level_index)(inv_scales, jnp.asarray(mm),
+                                      jnp.asarray(dm), jnp.asarray(direct))
     out_a, out_b = dual_multilevel_table_gather(
         tables_a.astype(compute_dtype), tables_b.astype(compute_dtype),
-        idx, bary.astype(compute_dtype))
+        idx, bary.astype(compute_dtype), rows_used=rows_used)
     return (out_a.reshape(num_levels * feat_dim, n),
             out_b.reshape(num_levels * feat_dim, n))
 

@@ -155,15 +155,27 @@ def _use_pallas(tables: jnp.ndarray, idx: jnp.ndarray) -> bool:
     return _probe_pallas_gather(rows, f, int(idx.shape[1]))
 
 
-@jax.custom_vjp
 def multilevel_table_gather(tables: jnp.ndarray, idx: jnp.ndarray,
-                            bary: jnp.ndarray) -> jnp.ndarray:
+                            bary: jnp.ndarray,
+                            rows_used=None) -> jnp.ndarray:
     """out[l, f, n] = sum_v bary[l, v, n] * tables[l, idx[l, v, n], f].
 
     tables [L, C, F]; idx [L, V, N] int32; bary [L, V, N]. Returns [L, F, N].
     On TPU this runs as a single Pallas kernel (ops/pallas_gather.py); elsewhere it
     falls back to a scan of per-level XLA gathers.
+
+    ``rows_used``: optional per-level static bound on the packed rows the level's
+    indices can address (direct-indexed coarse levels, ops/permuto_encoding.py).
+    Levels bounded well below the full table get an exact-size MXU scatter in
+    the backward instead of the full [MB, R] one-hot/dot.
     """
+    l = tables.shape[0]
+    ru = tuple(int(r) for r in rows_used) if rows_used is not None else (0,) * l
+    return _mtg(ru, tables, idx, bary)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mtg(rows_used, tables, idx, bary):
     return _ml_forward(tables, idx, bary)
 
 
@@ -189,9 +201,7 @@ def _ml_forward(tables, idx, bary):
     return out
 
 
-def _ml_fwd(tables, idx, bary):
-    l = tables.shape[0]
-    n = idx.shape[2]
+def _ml_fwd(rows_used, tables, idx, bary):
     if _use_pallas(tables, idx):
         # Pallas path re-gathers in bwd (kernel keeps everything in VMEM anyway).
         return _ml_forward(tables, idx, bary), (None, tables, idx, bary)
@@ -223,19 +233,52 @@ def _use_mxu_scatter(c: int, f: int) -> bool:
             and rows * LANES * 4 + 1024 * (rows * 2 + 512) < 12 * 2 ** 20)
 
 
-def _ml_bwd(res, g):
+def _split_levels(rows_used, rows_full):
+    """Static split point k: levels [0, k) are direct-indexed with a row bound
+    well under the full table (exact-size unrolled scatters pay off); [k, L)
+    scatter at full rows. Direct levels are always a coarse PREFIX (scales
+    decrease with level), so the split is a contiguous slice — no gather/copy
+    of the [L, V, N] event tensors in the backward.
+
+    Gated behind PAGNERF_DIRECT_SCATTER=1: the unrolled per-level kernels keep
+    several [M, 1] event operands live at once, and TPU lane-padding (minor dim
+    1 -> 128) makes each a 128x-padded HBM temp — several GB at flagship
+    pre-prune scale (the scanned path holds only one at a time). Until the
+    kernels take lane-major [1, M] event streams this stays opt-in."""
+    import os
+    if os.environ.get("PAGNERF_DIRECT_SCATTER", "0") != "1":
+        return 0
+    k = 0
+    while k < len(rows_used) and 0 < rows_used[k] <= rows_full // 2:
+        k += 1
+    return k
+
+
+def _ml_bwd(rows_used, res, g):
     feats, tables_or_spec, idx, bary = res        # g [L, F, N]
     l, c, f = tables_or_spec.shape
     tdtype = tables_or_spec.dtype
     v, n = idx.shape[1:]
     if _use_mxu_scatter(c, f):
         from .pallas_scatter import table_grad_matmul
+        rows_full = (c * f) // LANES
+        k = _split_levels(rows_used, rows_full)
 
         def body(_, level_in):
             i_l, b_l, g_l = level_in
             return None, table_grad_matmul(i_l, b_l, g_l, c, f)
 
-        _, dtables = jax.lax.scan(body, None, (idx, bary, g))
+        if k == 0:
+            _, dtables = jax.lax.scan(body, None, (idx, bary, g))
+        else:
+            parts = [table_grad_matmul(idx[lv], bary[lv], g[lv], c, f,
+                                       rows_used=rows_used[lv])
+                     for lv in range(k)]           # exact-rows unrolled kernels
+            if k < l:
+                _, dbig = jax.lax.scan(body, None, (idx[k:], bary[k:], g[k:]))
+                dtables = jnp.concatenate([jnp.stack(parts), dbig])
+            else:
+                dtables = jnp.stack(parts)
     else:
         # d tables: sparse scatter of V*F nonzeros per sample per level, [L*C*F].
         level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
@@ -259,16 +302,16 @@ def _ml_bwd(res, g):
     return dtables.astype(tdtype), None, dbary.astype(bary.dtype)
 
 
-multilevel_table_gather.defvjp(_ml_fwd, _ml_bwd)
+_mtg.defvjp(_ml_fwd, _ml_bwd)
 
 
 # ---------------------------------------------------------------------------
 # Dual-table variant: two same-shape table stacks gathered at SHARED indices.
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
 def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
-                                 idx: jnp.ndarray, bary: jnp.ndarray):
+                                 idx: jnp.ndarray, bary: jnp.ndarray,
+                                 rows_used=None):
     """Gather from two table stacks at one shared lattice.
 
     out_a[l,f,n] = sum_v bary[l,v,n]                   * tables_a[l, idx[l,v,n], f]
@@ -283,8 +326,16 @@ def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     event chunk (ops/pallas_scatter.table_grad_matmul_dual).
 
     tables_a/b [L, C, F] (same shape); idx [L, V, N] int32; bary [L, V, N].
-    Returns (out_a, out_b), each [L, F, N].
+    Returns (out_a, out_b), each [L, F, N]. ``rows_used``: see
+    multilevel_table_gather.
     """
+    l = tables_a.shape[0]
+    ru = tuple(int(r) for r in rows_used) if rows_used is not None else (0,) * l
+    return _dual_mtg(ru, tables_a, tables_b, idx, bary)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dual_mtg(rows_used, tables_a, tables_b, idx, bary):
     return _dual_forward(tables_a, tables_b, idx, bary)
 
 
@@ -299,7 +350,7 @@ def _dual_forward(tables_a, tables_b, idx, bary):
     return out_a, out_b
 
 
-def _dual_fwd(tables_a, tables_b, idx, bary):
+def _dual_fwd(rows_used, tables_a, tables_b, idx, bary):
     def body(_, level_in):
         ta, tb, i, b = level_in
         fa = _gather_feats(ta, i)                         # saved for dbary
@@ -312,18 +363,36 @@ def _dual_fwd(tables_a, tables_b, idx, bary):
     return (out_a, out_b), res
 
 
-def _dual_bwd(res, g):
+def _dual_bwd(rows_used, res, g):
     feats_a, spec_a, spec_b, idx, bary = res
     g_a, g_b = g                                          # each [L, F, N]
     l, c, f = spec_a.shape
     if _use_mxu_scatter(c, f):
         from .pallas_scatter import table_grad_matmul_dual
+        rows_full = (c * f) // LANES
+        k = _split_levels(rows_used, rows_full)
 
         def body(_, level_in):
             i_l, b_l, ga_l, gb_l = level_in
             return None, table_grad_matmul_dual(i_l, b_l, ga_l, gb_l, c, f)
 
-        _, (dta, dtb) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
+        if k == 0:
+            _, (dta, dtb) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
+        else:
+            pa, pb = [], []
+            for lv in range(k):                    # exact-rows unrolled kernels
+                a_lv, b_lv = table_grad_matmul_dual(
+                    idx[lv], bary[lv], g_a[lv], g_b[lv], c, f,
+                    rows_used=rows_used[lv])
+                pa.append(a_lv)
+                pb.append(b_lv)
+            if k < l:
+                _, (da, db) = jax.lax.scan(body, None, (idx[k:], bary[k:],
+                                                        g_a[k:], g_b[k:]))
+                dta = jnp.concatenate([jnp.stack(pa), da])
+                dtb = jnp.concatenate([jnp.stack(pb), db])
+            else:
+                dta, dtb = jnp.stack(pa), jnp.stack(pb)
     else:
         def xla_scatter(gg):
             level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
@@ -340,4 +409,4 @@ def _dual_bwd(res, g):
             dbary.astype(bary.dtype))
 
 
-dual_multilevel_table_gather.defvjp(_dual_fwd, _dual_bwd)
+_dual_mtg.defvjp(_dual_fwd, _dual_bwd)

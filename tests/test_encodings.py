@@ -147,3 +147,74 @@ def test_permuto_scales_geomspace():
     assert np.isclose(spec.scales[0], 1.0) and np.isclose(spec.scales[-1], 1e-4)
     ratios = spec.scales[1:] / spec.scales[:-1]
     np.testing.assert_allclose(ratios, ratios[0], rtol=1e-6)
+
+
+def test_permuto_direct_index_levels():
+    """Coarse levels whose lattice fits the capacity index DIRECTLY (zero
+    collisions) via the mod-4 key structure; fine levels keep hashing
+    (ops/permuto_encoding.direct_level_specs / _index_keys_T)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pagnerf_tpu.ops.permuto_encoding import (direct_level_specs,
+                                                  _index_keys_T,
+                                                  simplex_vertices_and_weights_T)
+    scales = np.geomspace(1.0, 0.01, 8)
+    capacity, f = 2 ** 14, 2
+    mm, dm, direct, rows_used = direct_level_specs(scales, capacity, f)
+    assert direct[0] and not direct[-1]          # coarse direct, fine hashed
+    assert rows_used[0] > 0 and rows_used[-1] == 0
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1, 1, (3, 4000)).astype(np.float32))
+    for l, s in enumerate(scales):
+        keys, _ = simplex_vertices_and_weights_T(pts / float(s))
+        idx = np.asarray(_index_keys_T(keys, 14, int(mm[l]), int(dm[l]),
+                                       bool(direct[l])))
+        assert idx.min() >= 0 and idx.max() < capacity
+        if direct[l]:
+            # in-bounds of the advertised row budget
+            assert (idx // (128 // f)) .max() < rows_used[l]
+            # collision-free: distinct keys -> distinct indices
+            k = np.asarray(keys).transpose(0, 2, 1).reshape(-1, 3)
+            i = idx.reshape(-1)
+            uniq = {}
+            for kk, ii in zip(map(tuple, k.tolist()), i.tolist()):
+                assert uniq.setdefault(ii, kk) == kk, (l, ii)
+
+
+def test_permuto_encode_grad_consistent_with_autodiff_reference():
+    """Value+grad of the (direct+hash) encode match a naive formulation built
+    from the same indices (the custom VJP must stay exact under rows_used)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pagnerf_tpu.ops.permuto_encoding import PermutoEncodingSpec
+    from pagnerf_tpu.ops import permuto_encoding as pe
+    spec = PermutoEncodingSpec(num_levels=6, feature_dim=2, capacity_log2=12,
+                               coarsest_scale=1.0, finest_scale=0.02)
+    key = jax.random.PRNGKey(0)
+    tables = spec.init(key, init_std=0.5)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (3, 257),
+                             minval=-1.0, maxval=1.0)
+
+    def loss_custom(t):
+        return (spec.encode_T(t, pts) ** 2).sum()
+
+    # naive reference: same lattice/index math, plain autodiff gather
+    mm, dm, direct, _ = pe.direct_level_specs(spec.scales, spec.capacity, 2)
+
+    def loss_naive(t):
+        total = 0.0
+        for l in range(spec.num_levels):
+            keys, bary = pe.simplex_vertices_and_weights_T(
+                pts / float(spec.scales[l]))
+            idx = pe._index_keys_T(keys, spec.capacity_log2, int(mm[l]),
+                                   int(dm[l]), bool(direct[l]))
+            feats = t[l][idx]                      # [V, N, F] plain gather
+            total += ((feats * bary[:, :, None]).sum(0) ** 2).sum()
+        return total
+
+    v1, g1 = jax.value_and_grad(loss_custom)(tables)
+    v2, g2 = jax.value_and_grad(loss_naive)(tables)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-3)

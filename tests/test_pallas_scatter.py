@@ -74,3 +74,37 @@ def test_table_grad_matches_autodiff_scatter():
         vals).reshape(capacity, f)
     np.testing.assert_allclose(np.asarray(dtable), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_rows_used_bounds_the_scatter():
+    """rows_used shrinks the kernel's one-hot/dot to the first rows while
+    producing the identical [C, F] gradient when every event row is in bounds
+    (direct-indexed coarse levels, ops/permuto_encoding.direct_level_specs)."""
+    from pagnerf_tpu.ops.pallas_scatter import (table_grad_matmul,
+                                                table_grad_matmul_dual)
+    rng = np.random.default_rng(7)
+    capacity, f, v, n = 2048, 2, 4, 600
+    entries_used = 300                       # rows_used = ceil(300*2/128) = 5
+    idx = jnp.asarray(rng.integers(0, entries_used, (v, n)), jnp.int32)
+    bary = jnp.asarray(rng.random((v, n)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    g2 = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    rows_used = int(np.ceil(entries_used * f / 128))
+
+    full = table_grad_matmul(idx, bary, g, capacity, f, event_chunk=512,
+                             interpret=True)
+    bounded = table_grad_matmul(idx, bary, g, capacity, f, event_chunk=512,
+                                interpret=True, rows_used=rows_used)
+    np.testing.assert_allclose(np.asarray(bounded), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(bounded[entries_used:]).sum()) == 0.0
+
+    fa, fb = table_grad_matmul_dual(idx, bary, g, g2, capacity, f,
+                                    event_chunk=512, interpret=True)
+    ba, bb = table_grad_matmul_dual(idx, bary, g, g2, capacity, f,
+                                    event_chunk=512, interpret=True,
+                                    rows_used=rows_used)
+    np.testing.assert_allclose(np.asarray(ba), np.asarray(fa), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bb), np.asarray(fb), rtol=1e-6,
+                               atol=1e-6)
