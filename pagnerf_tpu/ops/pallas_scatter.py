@@ -187,6 +187,163 @@ def _table_grad_kernel_dual(row_ref, lane0_ref, bg_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
+def _table_grad_kernel_dual_T(row_ref, lane0_ref, bgT_ref, out_ref):
+    """Lane-major variant of the paired-table gradient scatter: event streams
+    arrive as [1, MB] / [2F, MB] (events on LANES), so the HBM operands are
+    [1, M] / [2F, M] — sublane-padded 8x at worst instead of the 128x
+    lane-padding a [M, 1] layout suffers. The one-hot and the lane-spread are
+    built TRANSPOSED ([R, MB], [256, MB]) and contracted over the event axis:
+    dot(ohT, valsT^T-free) = A @ B^T on the MXU."""
+    mc = pl.program_id(0)
+
+    @pl.when(mc == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rowv = row_ref[:]                                    # [1, MB] int32
+    l0 = lane0_ref[:]                                    # [1, MB] int32
+    bgT = bgT_ref[:]                                     # [2F, MB]
+    f2, mb = bgT.shape
+    f = f2 // 2
+    r = out_ref.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, mb), 0)
+    ohT = (cols == rowv).astype(jnp.bfloat16)            # [R, MB]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (2 * LANES, mb), 0)
+    valsT = jnp.zeros((2 * LANES, mb), jnp.bfloat16)
+    for fi in range(f):                                  # static, F is 2 or 4
+        sel_a = lanes == (l0 + fi)
+        sel_b = lanes == (l0 + fi + LANES)
+        valsT = valsT + sel_a.astype(jnp.bfloat16) * bgT[fi:fi + 1].astype(jnp.bfloat16)
+        valsT = valsT + sel_b.astype(jnp.bfloat16) * bgT[f + fi:f + fi + 1].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        ohT, valsT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [R, 256]
+
+
+def table_grad_matmul_dual_T(idx: jnp.ndarray, bary: jnp.ndarray,
+                             g_a: jnp.ndarray, g_b: jnp.ndarray,
+                             capacity: int, feature_dim: int,
+                             rows_used: int, event_chunk: int = 768,
+                             interpret: bool = False):
+    """Row-bounded paired-table gradients with lane-major event streams.
+
+    Same contract as ``table_grad_matmul_dual`` but the event operands live as
+    [1, M] / [2F, M] (events minor), which keeps HBM temps small when several
+    of these kernels are alive in one program (the unrolled per-level scatter
+    for direct-indexed coarse levels, ops/table_gather.py)."""
+    v, n = idx.shape
+    f = feature_dim
+    epr = LANES // f
+    rows_full = (capacity * f) // LANES
+    rows = min(rows_used, rows_full) if rows_used > 0 else rows_full
+    rows = max(8, -(-rows // 8) * 8)
+    row_idx = (idx // epr).reshape(1, -1)                     # [1, M]
+    lane0 = ((idx % epr) * f).reshape(1, -1)                  # [1, M]
+    # [V, F, N] -> [F, V*N] feature-major, event order matching row_idx
+    bg_a = (bary[:, None, :] * g_a[None, :, :]).transpose(1, 0, 2).reshape(f, -1)
+    bg_b = (bary[:, None, :] * g_b[None, :, :]).transpose(1, 0, 2).reshape(f, -1)
+    bgT = jnp.concatenate([bg_a, bg_b], axis=0)               # [2F, M]
+
+    m = row_idx.shape[1]
+    pad = (-m) % event_chunk
+    if pad:
+        row_idx = jnp.pad(row_idx, ((0, 0), (0, pad)), constant_values=-1)
+        lane0 = jnp.pad(lane0, ((0, 0), (0, pad)))
+        bgT = jnp.pad(bgT, ((0, 0), (0, pad)))
+        m += pad
+
+    dpacked = pl.pallas_call(
+        _table_grad_kernel_dual_T,
+        grid=(m // event_chunk,),
+        in_specs=[
+            pl.BlockSpec((1, event_chunk), lambda mc: (0, mc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, event_chunk), lambda mc: (0, mc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * f, event_chunk), lambda mc: (0, mc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 2 * LANES), lambda mc: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 2 * LANES), jnp.float32),
+        interpret=interpret,
+    )(row_idx.astype(jnp.int32), lane0.astype(jnp.int32), bgT)
+    if rows < rows_full:
+        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
+    return (dpacked[:, :LANES].reshape(capacity, f),
+            dpacked[:, LANES:].reshape(capacity, f))
+
+
+def _table_grad_kernel_T(row_ref, lane0_ref, bgT_ref, out_ref):
+    """Single-table lane-major variant (see _table_grad_kernel_dual_T)."""
+    mc = pl.program_id(0)
+
+    @pl.when(mc == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rowv = row_ref[:]                                    # [1, MB]
+    l0 = lane0_ref[:]                                    # [1, MB]
+    bgT = bgT_ref[:]                                     # [F, MB]
+    f, mb = bgT.shape
+    r = out_ref.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, mb), 0)
+    ohT = (cols == rowv).astype(jnp.bfloat16)            # [R, MB]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (LANES, mb), 0)
+    valsT = jnp.zeros((LANES, mb), jnp.bfloat16)
+    for fi in range(f):
+        sel = lanes == (l0 + fi)
+        valsT = valsT + sel.astype(jnp.bfloat16) * bgT[fi:fi + 1].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        ohT, valsT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [R, 128]
+
+
+def table_grad_matmul_T(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
+                        capacity: int, feature_dim: int, rows_used: int,
+                        event_chunk: int = 1024,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Row-bounded single-table gradient with lane-major event streams
+    (see table_grad_matmul_dual_T)."""
+    v, n = idx.shape
+    f = feature_dim
+    epr = LANES // f
+    rows_full = (capacity * f) // LANES
+    rows = min(rows_used, rows_full) if rows_used > 0 else rows_full
+    rows = max(8, -(-rows // 8) * 8)
+    row_idx = (idx // epr).reshape(1, -1)
+    lane0 = ((idx % epr) * f).reshape(1, -1)
+    bgT = (bary[:, None, :] * g[None, :, :]).transpose(1, 0, 2).reshape(f, -1)
+
+    m = row_idx.shape[1]
+    pad = (-m) % event_chunk
+    if pad:
+        row_idx = jnp.pad(row_idx, ((0, 0), (0, pad)), constant_values=-1)
+        lane0 = jnp.pad(lane0, ((0, 0), (0, pad)))
+        bgT = jnp.pad(bgT, ((0, 0), (0, pad)))
+        m += pad
+
+    dpacked = pl.pallas_call(
+        _table_grad_kernel_T,
+        grid=(m // event_chunk,),
+        in_specs=[
+            pl.BlockSpec((1, event_chunk), lambda mc: (0, mc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, event_chunk), lambda mc: (0, mc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, event_chunk), lambda mc: (0, mc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), lambda mc: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(row_idx.astype(jnp.int32), lane0.astype(jnp.int32), bgT)
+    if rows < rows_full:
+        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
+    return dpacked.reshape(capacity, f)
+
+
 def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
                            g_a: jnp.ndarray, g_b: jnp.ndarray,
                            capacity: int, feature_dim: int,

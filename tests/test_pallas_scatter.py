@@ -108,3 +108,48 @@ def test_rows_used_bounds_the_scatter():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(bb), np.asarray(fb), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_lane_major_dual_kernel_matches():
+    """The lane-major ([1, M] / [2F, M] operands) row-bounded dual kernel must
+    reproduce the original kernel's gradients exactly (same bf16-multiply
+    regime)."""
+    from pagnerf_tpu.ops.pallas_scatter import (table_grad_matmul_dual,
+                                                table_grad_matmul_dual_T)
+    rng = np.random.default_rng(11)
+    capacity, f, v, n = 2048, 2, 4, 900
+    entries_used = 500
+    idx = jnp.asarray(rng.integers(0, entries_used, (v, n)), jnp.int32)
+    bary = jnp.asarray(rng.random((v, n)), jnp.float32)
+    g_a = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    g_b = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    rows_used = int(np.ceil(entries_used * f / 128))
+
+    ra, rb = table_grad_matmul_dual(idx, bary, g_a, g_b, capacity, f,
+                                    event_chunk=512, interpret=True)
+    ta, tb = table_grad_matmul_dual_T(idx, bary, g_a, g_b, capacity, f,
+                                      rows_used=rows_used, event_chunk=512,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(ra), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(rb), rtol=1e-6,
+                               atol=1e-6)
+    assert float(jnp.abs(ta[entries_used:]).sum()) == 0.0
+
+
+def test_lane_major_single_kernel_matches():
+    from pagnerf_tpu.ops.pallas_scatter import (table_grad_matmul,
+                                                table_grad_matmul_T)
+    rng = np.random.default_rng(13)
+    capacity, f, v, n = 2048, 2, 4, 700
+    entries_used = 400
+    idx = jnp.asarray(rng.integers(0, entries_used, (v, n)), jnp.int32)
+    bary = jnp.asarray(rng.random((v, n)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    rows_used = int(np.ceil(entries_used * f / 128))
+    ref = table_grad_matmul(idx, bary, g, capacity, f, event_chunk=512,
+                            interpret=True)
+    got = table_grad_matmul_T(idx, bary, g, capacity, f, rows_used=rows_used,
+                              event_chunk=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
