@@ -34,6 +34,9 @@ def main():
     import os
     import sys
 
+    from pagnerf_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import numpy as np
     import jax.numpy as jnp

@@ -21,6 +21,9 @@ def main(argv=None):
 
     from pagnerf_tpu.utils.logging_utils import SummaryWriter, default_log_setup
 
+    from pagnerf_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     args = parse_options(argv)
 
     # per-run log dir + config snapshot (main_interactive.py:96-101)

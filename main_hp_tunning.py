@@ -99,6 +99,8 @@ def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
 
 
 def main(argv=None):
+    from pagnerf_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--out-dir", default="_results/hp_sweep")

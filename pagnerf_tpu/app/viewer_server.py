@@ -90,10 +90,17 @@ class ViewerState:
 
     # ------------------------------------------------------------- rendering
     def channels_for_view(self, view: int) -> Dict[str, np.ndarray]:
-        if view not in self._cache:
+        # hold the frames in a local: the training thread clears self._cache
+        # after every epoch, so re-reading the dict after releasing the lock
+        # could KeyError on an in-flight frame request
+        frames = self._cache.get(view)
+        if frames is None:
             with self.lock:
-                self._cache[view] = render_channels_for_view(self.trainer, view)
-        return self._cache[view]
+                frames = self._cache.get(view)
+                if frames is None:
+                    frames = render_channels_for_view(self.trainer, view)
+                    self._cache[view] = frames
+        return frames
 
     def frame(self, view: int, channel: str) -> Optional[np.ndarray]:
         return self.channels_for_view(view).get(channel)

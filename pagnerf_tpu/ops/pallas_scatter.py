@@ -268,10 +268,23 @@ def table_grad_matmul_dual_T(idx: jnp.ndarray, bary: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((rows, 2 * LANES), jnp.float32),
         interpret=interpret,
     )(row_idx.astype(jnp.int32), lane0.astype(jnp.int32), bgT)
-    if rows < rows_full:
-        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
+    dpacked = _fit_rows(dpacked, rows_full)
     return (dpacked[:, :LANES].reshape(capacity, f),
             dpacked[:, LANES:].reshape(capacity, f))
+
+
+def _fit_rows(dpacked: jnp.ndarray, rows_full: int) -> jnp.ndarray:
+    """Resize the kernel's sublane-aligned [rows, ...] output to exactly
+    ``rows_full`` rows: pad when the scatter was row-bounded below the full
+    table, slice when sublane alignment (rows = max(8, ceil/8*8)) exceeded a
+    small table's true row count (e.g. capacity 256 x F=2 -> 4 packed rows)."""
+    rows = dpacked.shape[0]
+    if rows < rows_full:
+        return jnp.pad(dpacked, ((0, rows_full - rows),) +
+                       ((0, 0),) * (dpacked.ndim - 1))
+    if rows > rows_full:
+        return dpacked[:rows_full]
+    return dpacked
 
 
 def _table_grad_kernel_T(row_ref, lane0_ref, bgT_ref, out_ref):
@@ -339,9 +352,7 @@ def table_grad_matmul_T(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         interpret=interpret,
     )(row_idx.astype(jnp.int32), lane0.astype(jnp.int32), bgT)
-    if rows < rows_full:
-        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
-    return dpacked.reshape(capacity, f)
+    return _fit_rows(dpacked, rows_full).reshape(capacity, f)
 
 
 def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
@@ -403,8 +414,7 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
         interpret=interpret,
     )(row_idx.reshape(m, 1).astype(jnp.int32),
       lane0.reshape(m, 1).astype(jnp.int32), bg)
-    if rows < rows_full:
-        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
+    dpacked = _fit_rows(dpacked, rows_full)
     return (dpacked[:, :LANES].reshape(capacity, f),
             dpacked[:, LANES:].reshape(capacity, f))
 
@@ -458,6 +468,4 @@ def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
         interpret=interpret,
     )(row_idx.reshape(m, 1).astype(jnp.int32),
       lane0.reshape(m, 1).astype(jnp.int32), bg)
-    if rows < rows_full:
-        dpacked = jnp.pad(dpacked, ((0, rows_full - rows), (0, 0)))
-    return dpacked.reshape(capacity, f)
+    return _fit_rows(dpacked, rows_full).reshape(capacity, f)

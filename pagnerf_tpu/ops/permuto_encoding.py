@@ -184,6 +184,12 @@ def permuto_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
 
     Returns featsT [L*F, N] concatenated level features, sample axis minor (see
     simplex_vertices_and_weights_T for why this layout).
+
+    Precondition: coords must lie in [-1, 1]^3 (the tracer's normalised scene
+    cube). Direct-indexed coarse levels size their key box from that range;
+    out-of-range coords get CLIPPED onto boundary lattice cells, silently
+    merging all their gradients into the same edge entries (hashed levels would
+    at least spread them). Callers with unnormalised coords must rescale first.
     """
     num_levels, capacity, feat_dim = tables.shape
     log2_c = int(np.log2(capacity))
@@ -227,6 +233,8 @@ def permuto_encode_dual_T(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     let the fused backward scatter both tables' gradients per one-hot build
     (ops/table_gather.dual_multilevel_table_gather). The B side's barycentric
     weights carry no coordinate gradient, matching the stop-grad contract.
+
+    Precondition: coords in [-1, 1]^3, as for ``permuto_encode_T``.
 
     Returns (featsA [L*F, N], featsB [L*F, N]).
     """

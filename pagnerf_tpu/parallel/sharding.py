@@ -36,13 +36,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_ray_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Place a host batch on the mesh: pixel modes sharded on the ray axis,
-    per-image scalars (cam_idx) replicated."""
+    per-image scalars (cam_idx) replicated.
+
+    Every [B, R, ...] pixel-mode array must have its ray axis divisible by the
+    mesh size; a mis-sized batch raises rather than silently replicating (which
+    would lose all data parallelism with no visible signal)."""
     rs = ray_sharding(mesh)
     rep = replicated(mesh)
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.ndim >= 2 and arr.shape[1] % mesh.size == 0 and k != "cam_idx":
+        if arr.ndim >= 2 and k != "cam_idx":
+            if arr.shape[1] % mesh.size != 0:
+                raise ValueError(
+                    f"batch['{k}'] ray axis {arr.shape[1]} is not divisible by "
+                    f"the {mesh.size}-device mesh — pick num_rays_sampled_per_img "
+                    f"as a multiple of the mesh size")
             out[k] = jax.device_put(arr, rs)
         else:
             out[k] = jax.device_put(arr, rep)

@@ -45,6 +45,12 @@ def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
         "lod_weights": np.asarray(trainer.lod_w),
         "epoch": trainer.epoch,
         "global_step": trainer.global_step,
+        # prune-regime flags: stage_for_epoch keys post-prune sample compaction
+        # off these; without them a resumed post-prune run silently trains the
+        # (slower, differently-shaped) pre-prune stage
+        "pruned": int(bool(getattr(trainer, "_pruned", False))),
+        "occ_frac": float(getattr(trainer, "_occ_frac",
+                                  float(np.asarray(trainer.occ.mask).mean()))),
     }
     with open(path, "wb") as f:
         f.write(flax_ser.msgpack_serialize(state))
@@ -100,6 +106,15 @@ def load_checkpoint(path: str, trainer, model_format: str = "full") -> None:
         trainer.lod_w = jnp.asarray(state["lod_weights"])
         trainer.epoch = int(state["epoch"])
         trainer.global_step = int(state["global_step"])
+        occ_frac = float(np.asarray(trainer.occ.mask).mean())
+        if "pruned" in state:
+            trainer._pruned = bool(state["pruned"])
+            trainer._occ_frac = float(state["occ_frac"])
+        else:
+            # legacy (round-2) checkpoint: derive from the restored mask — any
+            # prune leaves occupancy below fully-dense
+            trainer._pruned = occ_frac < 1.0
+            trainer._occ_frac = occ_frac
         try:
             # restore through the live opt_state's structure (msgpack stores a
             # plain nested dict; optax states are namedtuple pytrees)

@@ -167,15 +167,25 @@ def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
 
     if frozen_fn is not None and frozen_paths:
         updates = jax.tree_util.tree_map_with_path(zero_frozen, updates)
-        # Moment trees inside the state (e.g. ScaleByAdamState.mu/nu) embed the
-        # param tree, so a state leaf belonging to a frozen param has its param
-        # path as a suffix of its own key path. Restore those leaves from the
-        # pre-update state; scalar counts match no param path and keep advancing.
-        suffixes = tuple("/" + fp for fp in frozen_paths)
+        # Moment trees inside the state (e.g. ScaleByAdamState.mu/nu, possibly
+        # per-group under optax.multi_transform inner states) embed (subsets
+        # of) the param tree, so a state leaf's path ends with its param's full
+        # path. Attribute each state leaf to the LONGEST param path that is a
+        # path-suffix of it: a raw any-suffix match would also freeze a
+        # non-frozen param whose path is a path-suffix of a frozen one (e.g.
+        # frozen 'grid/tables' vs param 'ema/grid/tables'); the longest match
+        # picks 'ema/grid/tables' there. Scalar counts match no param path and
+        # keep advancing.
+        by_len = sorted((_kp_str(kp) for kp, _ in flat), key=len, reverse=True)
+
+        def embedded_param(p: str):
+            for pp in by_len:
+                if p == pp or p.endswith("/" + pp):
+                    return pp
+            return None
 
         def restore(kp, new_leaf, old_leaf):
-            p = _kp_str(kp)
-            return old_leaf if (p in frozen_paths or p.endswith(suffixes)) \
+            return old_leaf if embedded_param(_kp_str(kp)) in frozen_paths \
                 else new_leaf
 
         new_state = jax.tree_util.tree_map_with_path(restore, new_state, opt_state)

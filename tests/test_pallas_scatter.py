@@ -153,3 +153,45 @@ def test_lane_major_single_kernel_matches():
                               event_chunk=512, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_small_table_below_sublane_alignment():
+    """capacity*F/128 < 8 packed rows (e.g. capacity 256 x F=2 -> 4 rows): the
+    kernel pads its output to the 8-row sublane alignment and must slice back
+    before the [C, F] reshape (round-2 regression: reshape crashed)."""
+    from pagnerf_tpu.ops.pallas_scatter import (table_grad_matmul,
+                                                table_grad_matmul_T,
+                                                table_grad_matmul_dual,
+                                                table_grad_matmul_dual_T)
+    rng = np.random.default_rng(7)
+    capacity, f, v, n = 256, 2, 4, 300
+    idx = jnp.asarray(rng.integers(0, capacity, (v, n)), jnp.int32)
+    bary = jnp.asarray(rng.random((v, n)), jnp.float32)
+    g_a = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+    g_b = jnp.asarray(rng.standard_normal((f, n)), jnp.float32)
+
+    def ref(g):
+        flat_idx = (idx[:, None, :] * f
+                    + jnp.arange(f, dtype=idx.dtype)[None, :, None]).reshape(-1)
+        vals = (bary[:, None, :] * g[None, :, :]).reshape(-1)
+        return jnp.zeros((capacity * f,), jnp.float32).at[flat_idx].add(
+            vals).reshape(capacity, f)
+
+    d = table_grad_matmul(idx, bary, g_a, capacity, f, event_chunk=512,
+                          interpret=True)
+    assert d.shape == (capacity, f)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref(g_a)),
+                               rtol=2e-2, atol=2e-2)
+    d_t = table_grad_matmul_T(idx, bary, g_a, capacity, f, rows_used=0,
+                              event_chunk=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(ref(g_a)),
+                               rtol=2e-2, atol=2e-2)
+    da, db = table_grad_matmul_dual(idx, bary, g_a, g_b, capacity, f,
+                                    event_chunk=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(ref(g_a)),
+                               rtol=2e-2, atol=2e-2)
+    da_t, db_t = table_grad_matmul_dual_T(idx, bary, g_a, g_b, capacity, f,
+                                          rows_used=0, event_chunk=512,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(db_t), np.asarray(ref(g_b)),
+                               rtol=2e-2, atol=2e-2)

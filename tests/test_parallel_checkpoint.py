@@ -119,3 +119,31 @@ def test_checkpoint_roundtrip(tmp_path):
     # partial / mismatch-tolerant load (reference config_parser.py:753-776)
     trainer3, _ = make_trainer(epochs=1)
     checkpoint.load_checkpoint(path, trainer3, "params_only_ignore_missmatch")
+
+
+def test_shard_ray_batch_rejects_indivisible_ray_axis():
+    """A pixel-mode array whose ray axis does not divide the mesh must fail
+    LOUDLY, not silently replicate (round-2 weak point #5)."""
+    mesh = make_mesh(8)
+    batch = {"imgs": np.random.rand(2, 7, 3).astype(np.float32),
+             "cam_idx": np.array([0, 1], np.int32)}
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_ray_batch(batch, mesh)
+
+
+def test_checkpoint_persists_prune_regime(tmp_path):
+    """stage_for_epoch keys post-prune sample compaction off _pruned/_occ_frac;
+    a resumed post-prune checkpoint must restore them (ADVICE r2 medium #1)."""
+    from pagnerf_tpu.train import checkpoint
+    from tests.test_train_e2e import make_trainer
+
+    trainer, _ = make_trainer(epochs=1)
+    trainer._pruned = True
+    trainer._occ_frac = 0.125
+    path = checkpoint.save_checkpoint(str(tmp_path / "m.ckpt"), trainer)
+
+    trainer2, _ = make_trainer(epochs=1)
+    assert not getattr(trainer2, "_pruned", False)
+    checkpoint.load_checkpoint(path, trainer2, "full")
+    assert trainer2._pruned is True
+    assert trainer2._occ_frac == 0.125

@@ -134,3 +134,33 @@ def test_batch_render_full_image():
 
 
 import jax  # noqa: E402
+
+
+def test_masked_update_suffix_collision():
+    """A non-frozen param whose path is a path-SUFFIX of a frozen one (e.g.
+    frozen 'grid/tables' vs param 'ema/grid/tables') must keep updating its
+    Adam moments — the frozen-state restore is anchored at moment-tree roots,
+    not raw suffix matching (ADVICE r2 low #1)."""
+    import optax
+
+    from pagnerf_tpu.train.optimizer import masked_update
+
+    params = {"grid": {"tables": jnp.ones((3,))},
+              "ema": {"grid": {"tables": jnp.ones((3,))}}}
+    tx = optax.adam(1e-2)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    frozen_fn = lambda p: p == "grid/tables"
+    updates, new_state = masked_update(tx, grads, state, params, frozen_fn)
+
+    # frozen leaf: zero update, moments unchanged
+    assert float(jnp.abs(updates["grid"]["tables"]).max()) == 0.0
+    # suffix-collision leaf: nonzero update AND advanced moments
+    assert float(jnp.abs(updates["ema"]["grid"]["tables"]).max()) > 0.0
+    mu_new = new_state[0].mu["ema"]["grid"]["tables"]
+    mu_old = state[0].mu["ema"]["grid"]["tables"]
+    assert float(jnp.abs(mu_new - mu_old).max()) > 0.0
+    # frozen leaf's moments restored exactly
+    np.testing.assert_array_equal(np.asarray(new_state[0].mu["grid"]["tables"]),
+                                  np.asarray(state[0].mu["grid"]["tables"]))
