@@ -150,6 +150,10 @@ FLAG_GROUPS: Dict[str, list] = {
         ("synthetic-num-views", int, 8, None, None),
         ("synthetic-res", int, [40, 30], None, 2),
         ("synthetic-num-spheres", int, 4, None, None),
+        # train from noisy per-frame Mask2Former-like predictions instead of GT
+        # labels (the reference's actual regime: train.sh load_modes preds);
+        # also enabled when load-modes names a preds source
+        ("synthetic-preds", B, False, None, None),
         ("num-rays-sampled-per-img", int, 4096, None, None),
         ("bg-color", str, "white", ["white", "black"], None),
         ("mip", int, None, None, None),
@@ -207,6 +211,12 @@ FLAG_GROUPS: Dict[str, list] = {
         ("prune-at-epoch", int, -1, None, None),
         ("prune-at-start", B, False, None, None),
         ("inst-num-dilations", int, -1, None, None),
+        # minimum instance-mask pixel count kept by the validation cleanup; the
+        # reference hardcodes 100 (tuned for 1280x720 berries,
+        # pc_nerf/trainer.py:765) — at small synthetic resolutions whole valid
+        # spheres are 45-220 px, so 100 deletes half of them (mAP halves on
+        # PERFECT GT input). Scale with image area.
+        ("inst-min-mask-px", int, 100, None, None),
         ("low-res-val", B, False, None, None),
         ("random-lod", B, False, None, None),
         ("growth-strategy", str, "increase", None, None),

@@ -63,11 +63,14 @@ def load_dataset(args) -> MultiviewDataset:
     if fmt in ("synthetic",):
         from ..data.synthetic import make_dataset
         res = getattr(args, "synthetic_res", None) or [40, 30]
+        preds = bool(getattr(args, "synthetic_preds", False)) or any(
+            "pred" in str(m) for m in getattr(args, "load_modes", []) or [])
         data = make_dataset(num_views=getattr(args, "synthetic_num_views", 8),
                             width=int(res[0]), height=int(res[1]),
                             num_spheres=getattr(args, "synthetic_num_spheres", 4),
                             pose_noise=args.pose_noise_strength
-                            if args.add_noise_to_train_poses else 0.0)
+                            if args.add_noise_to_train_poses else 0.0,
+                            predictions=preds)
     elif fmt == "bup20":
         from ..data.formats.bup20 import load_bup20
         data = load_bup20(args)
@@ -174,6 +177,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         render_batch=args.render_batch or 8000,
         val_mip=args.val_mip or 0,
         inst_num_dilations=max(args.inst_num_dilations, 0),
+        inst_min_mask_px=max(getattr(args, "inst_min_mask_px", 100), 0),
         num_val_frames_to_save=max(args.num_val_frames_to_save, 1),
         render_val_labels=args.render_val_labels,
         save_preds=args.save_preds,

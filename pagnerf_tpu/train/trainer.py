@@ -118,6 +118,9 @@ class TrainerConfig:
     render_batch: int = 8000
     val_mip: int = 2
     inst_num_dilations: int = 1
+    # validation cleanup small-mask threshold (reference hardcodes 100 px for
+    # 1280x720; scale with resolution — see config.py inst-min-mask-px)
+    inst_min_mask_px: int = 100
     num_val_frames_to_save: int = 1
     render_val_labels: bool = True
     save_preds: bool = False

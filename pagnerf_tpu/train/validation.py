@@ -146,7 +146,8 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
             inst_conf = np.max(e, -1).reshape(h, w)
             inst_map, masks, _ = clean_instance_map(
                 inst_map, cfg.inst_num_dilations,
-                outlier_rejection=cfg.inst_outlier_rejection)
+                outlier_rejection=cfg.inst_outlier_rejection,
+                min_mask_px=getattr(cfg, "inst_min_mask_px", 100))
             icmap = label_colormap(int(inst_map.max()) + 2)
             frames["inst"].append(label2rgb(inst_map, colormap=icmap))
             frames["inst_rgb"].append(label2rgb(inst_map, colormap=icmap,
