@@ -5,21 +5,27 @@ tracer -> panoptic losses -> Adam) at the reference's best.yaml scale: batch 6 i
 x 4096 rays = 24,576 rays/step, PermutoGrid 24 LoDs x 2^18 x 2 (x2 grids), all
 panoptic losses + pose optimisation. Prints ONE JSON line.
 
-Two regimes are measured, mirroring the reference's own schedule (best.yaml:
-prune + ray->voxel switch at epoch 201 of 800):
-  * pre-prune  — ray mode, 512 samples/ray, dense occupancy (epochs 0-200; 25%).
-  * post-prune — voxel mode, 2 samples/voxel (256 steps) compacted to 64 valid
-    samples/ray via occupancy skipping (epochs 201-800; 75% of the schedule; the
-    packed CUDA reference gets the same sample reduction from its ragged layout).
-The HEADLINE number is the post-prune steady state — the dominant regime. Both are
-printed to stderr. Every timed step prints an evolving rgb_loss: throughput claims
-are only valid with real training progress (axon result-caching artifacts read as
-1000x wins otherwise — see PERFORMANCE.md).
+THREE regimes are measured, mirroring the reference's schedule (best.yaml: prune +
+ray->voxel switch at epoch 201 of 800) plus the framework's early occupancy seeding:
+  * pre-prune   — ray mode, 512 samples/ray, dense occupancy (epochs 0..SEED).
+  * seeded      — ray mode, conservative seed prune (trainer.prune(seed=True)) +
+    occupancy-adaptive sample compaction (epochs SEED..201; the packed CUDA
+    reference's ragged layout gives it this empty-space skipping from epoch 0).
+  * post-prune  — voxel mode, 2 samples/voxel (256 steps) compacted via occupancy
+    skipping, micro_batch=6 (epochs 201..800).
+The HEADLINE number is the SCHEDULE-WEIGHTED throughput over the reference's
+801-epoch schedule (epoch counts above), not the best regime. A fourth probe times
+the post-prune step at the convergence run's real ~25% occupancy (auto-compaction
+budget 128 instead of the sparse-field 64) so the deployed regime is on record.
+Every timed step prints an evolving rgb_loss: throughput claims are only valid with
+real training progress (axon result-caching artifacts read as 1000x wins otherwise —
+see PERFORMANCE.md).
 
-``vs_baseline`` compares against an estimated throughput of the CUDA reference
-(kaolin-wisp + permutohedral_encoding on an RTX A6000). The reference repo publishes
-no benchmark numbers (BASELINE.md); the estimate assumes ~15 train steps/s at
-24,576 rays/step for the packed CUDA pipeline — revise when a measured number lands.
+``vs_baseline`` compares the schedule-weighted number against an estimated
+throughput of the CUDA reference (kaolin-wisp + permutohedral_encoding on an RTX
+A6000). The reference repo publishes no benchmark numbers (BASELINE.md); the
+estimate assumes ~15 train steps/s at 24,576 rays/step — revise when a measured
+number lands.
 """
 from __future__ import annotations
 
@@ -28,6 +34,11 @@ import json
 import time
 
 REFERENCE_RAYS_PER_SEC = 370_000.0  # estimated CUDA reference throughput (see above)
+
+# reference 801-epoch schedule segments (best.yaml prune at 201; seeding at 20)
+SEED_EPOCH = 20
+PRUNE_EPOCH = 201
+TOTAL_EPOCHS = 801
 
 
 def main():
@@ -58,7 +69,8 @@ def main():
     micro_post = int(os.environ.get("BENCH_MICRO", 6))
     pre_iters = int(os.environ.get("BENCH_PRE_ITERS", 3))
     max_iters = int(os.environ.get("BENCH_ITERS", 8))
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1800))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 3600))
+    probe_conv_occ = os.environ.get("BENCH_CONV_OCC", "1") != "0"
 
     num_lods = int(os.environ.get("BENCH_LODS", 24))        # smoke-testing knobs
     cap_log2 = int(os.environ.get("BENCH_CAP_LOG2", 18))
@@ -100,24 +112,67 @@ def main():
                 break
         return batch_size * rays_per_img * done / (time.perf_counter() - t0)
 
+    def run_phase(stage, label, iters, start, micro):
+        trainer.cfg = dataclasses.replace(trainer.cfg, micro_batch_imgs=micro)
+        t0 = time.perf_counter()
+        trainer.train_step(stage, batch)   # compile + warmup
+        jax.block_until_ready(trainer.params)
+        note(f"{label} compile+first step: {time.perf_counter() - t0:.1f}s "
+             f"({stage.raymarch_type} {stage.num_steps} steps"
+             + (f" compacted to {stage.compact_steps}" if stage.compact_steps
+                else "") + f", micro_batch_imgs={micro})")
+        rays = timed_steps(stage, label, iters, start)
+        note(f"{label}: {rays:.1f} rays/s")
+        return rays
+
     start = time.perf_counter()
 
-    # ---- phase 1: pre-prune (ray mode, 512 steps) -------------------------
+    # ---- phase 1: pre-prune (ray mode, 512 steps, dense occupancy) --------
     stage_pre = trainer.stage_for_epoch(0)
     assert stage_pre.raymarch_type == "ray" and stage_pre.compact_steps == 0
-    losses = trainer.train_step(stage_pre, batch)   # compile + warmup
-    jax.block_until_ready(trainer.params)
-    note(f"pre-prune compile+first step: {time.perf_counter() - start:.1f}s "
-         f"({stage_pre.num_steps} samples/ray)")
-    pre_rays = timed_steps(stage_pre, "pre", pre_iters, start)
-    note(f"pre-prune: {pre_rays:.1f} rays/s")
+    pre_rays = run_phase(stage_pre, "pre", pre_iters, start, 1)
 
-    # ---- prune (the reference does this at epoch 201) ---------------------
-    # The reference prunes after 201 epochs of training; a bench can't afford
-    # that, so train in short bursts until the density field is formed enough
-    # that pruning keeps cells (throughput is shape-static — warmup length does
-    # not affect the timed steady state, only whether the loss keeps evolving).
-    def try_prune():
+    # ---- phase 2: seeded pre-prune (conservative seed + compaction) -------
+    # A real run seeds from a ~20-epoch field; the bench's 4-step field is
+    # unconverged, so (exactly like the top-2% fallback of the 201-prune below)
+    # force a REPRESENTATIVE seed occupancy when the real conservative seed
+    # keeps too much. The forced fraction cannot affect step timing (the
+    # compiled step is shape-static; occupancy only selects valid samples) —
+    # it selects the compaction budget, which is what the regime is about.
+    # BENCH_SEED_OCC defaults to 25%, the occupancy the committed convergence
+    # run measured at its first threshold prune (docs/convergence).
+    seed_occ = float(os.environ.get("BENCH_SEED_OCC", 0.25))
+    trainer.prune(seed=True)
+    seed_frac = float(trainer.occ.mask.mean())
+    note(f"seed prune: {100 * seed_frac:.1f}% cells occupied")
+    if seed_frac > seed_occ:
+        from pagnerf_tpu.ops.occupancy import OccupancyGrid
+        dens = np.asarray(trainer.occ.occupancy)
+        thr = float(np.quantile(dens, 1.0 - seed_occ))
+        trainer.occ = OccupancyGrid(occupancy=trainer.occ.occupancy,
+                                    mask=jnp.asarray(dens >= thr),
+                                    level=trainer.occ.level)
+        trainer._occ_frac = seed_frac = float(trainer.occ.mask.mean())
+        note(f"unconverged bench field — forced representative seed occupancy "
+             f"{100 * seed_frac:.1f}%")
+    stage_seed = trainer.stage_for_epoch(0)
+    seeded_rays = pre_rays
+    if stage_seed.compact_steps > 0:
+        # largest divisor of the batch whose samples/microbatch fit the
+        # pre-prune HBM envelope (mb=1 x 512 samples = 2.1M samples)
+        cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
+        micro_seed = max(m for m in range(1, batch_size + 1)
+                         if batch_size % m == 0
+                         and m * rays_per_img * stage_seed.compact_steps <= cap)
+        seeded_rays = run_phase(stage_seed, "seeded", pre_iters, start, micro_seed)
+    else:
+        note(f"seeded field too dense for compaction — regime parity with pre "
+             f"(pruned={getattr(trainer, '_pruned', None)} "
+             f"occ_frac={getattr(trainer, '_occ_frac', None)} "
+             f"steps={stage_seed.num_steps})")
+
+    # ---- real prune (the reference does this at epoch 201) ----------------
+    def hard_prune():
         # The reference prunes after 201 epochs; a bench-scale field hasn't
         # crossed the absolute reference density threshold yet, so fall back to
         # keeping the top-2% densest cells. The threshold choice CANNOT affect
@@ -133,34 +188,58 @@ def main():
             trainer.occ = OccupancyGrid(
                 occupancy=trainer.occ.occupancy,
                 mask=jnp.asarray(dens >= thr), level=trainer.occ.level)
-            frac = float(trainer.occ.mask.mean())
+            trainer._occ_frac = frac = float(trainer.occ.mask.mean())
             note(f"prune fell below the reference density threshold everywhere; "
                  f"kept top-2% densest cells (thr={thr:.3f})")
         return frac
 
-    occ_frac = try_prune()
+    occ_frac = hard_prune()
     note(f"pruned: {100 * occ_frac:.2f}% cells occupied")
 
-    # ---- phase 2: post-prune (voxel mode + compaction) --------------------
-    trainer.cfg = dataclasses.replace(trainer.cfg, micro_batch_imgs=micro_post)
+    # ---- phase 3: post-prune (voxel mode + compaction) --------------------
     stage_post = trainer.stage_for_epoch(3)
     assert stage_post.raymarch_type == "voxel" and stage_post.compact_steps > 0
-    t0 = time.perf_counter()
-    losses = trainer.train_step(stage_post, batch)
-    jax.block_until_ready(trainer.params)
-    note(f"post-prune compile+first step: {time.perf_counter() - t0:.1f}s "
-         f"({stage_post.num_steps} steps compacted to {stage_post.compact_steps}, "
-         f"micro_batch_imgs={micro_post})")
-    post_rays = timed_steps(stage_post, "post", max_iters, start)
-    note(f"post-prune steady state: {post_rays:.1f} rays/s "
-         f"(dominant regime: 599/800 reference epochs)")
+    post_rays = run_phase(stage_post, "post", max_iters, start, micro_post)
 
-    print(json.dumps({
-        "metric": "train_rays_per_sec",
-        "value": round(post_rays, 1),
+    # ---- phase 4: post-prune at the convergence run's ~25% occupancy ------
+    post_conv_rays = None
+    if probe_conv_occ and time.perf_counter() - start < budget:
+        from pagnerf_tpu.ops.occupancy import OccupancyGrid
+        dens = np.asarray(trainer.occ.occupancy)
+        thr = float(np.quantile(dens, 0.75))
+        trainer.occ = OccupancyGrid(occupancy=trainer.occ.occupancy,
+                                    mask=jnp.asarray(dens >= thr),
+                                    level=trainer.occ.level)
+        trainer._occ_frac = float(trainer.occ.mask.mean())
+        stage_conv = trainer.stage_for_epoch(3)
+        note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
+             f"compact budget {stage_conv.compact_steps}")
+        post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
+                                   micro_post)
+
+    # ---- schedule-weighted throughput (801 reference epochs) --------------
+    seg = [(SEED_EPOCH, pre_rays), (PRUNE_EPOCH - SEED_EPOCH, seeded_rays),
+           (TOTAL_EPOCHS - PRUNE_EPOCH, post_rays)]
+    weighted = sum(e for e, _ in seg) / sum(e / r for e, r in seg)
+    note(f"schedule-weighted: {weighted:.1f} rays/s "
+         f"(epochs {SEED_EPOCH} pre @ {pre_rays:.0f} + "
+         f"{PRUNE_EPOCH - SEED_EPOCH} seeded @ {seeded_rays:.0f} + "
+         f"{TOTAL_EPOCHS - PRUNE_EPOCH} post @ {post_rays:.0f})")
+
+    out = {
+        "metric": "train_rays_per_sec_schedule_weighted",
+        "value": round(weighted, 1),
         "unit": "rays/s",
-        "vs_baseline": round(post_rays / REFERENCE_RAYS_PER_SEC, 3),
-    }), flush=True)
+        "vs_baseline": round(weighted / REFERENCE_RAYS_PER_SEC, 3),
+        "pre_prune": round(pre_rays, 1),
+        "seeded": round(seeded_rays, 1),
+        "post_prune": round(post_rays, 1),
+        "seed_occ_frac": round(seed_frac, 4),
+        "post_occ_frac": round(occ_frac, 4),
+    }
+    if post_conv_rays is not None:
+        out["post_prune_at_25pct_occ"] = round(post_conv_rays, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -210,6 +210,10 @@ FLAG_GROUPS: Dict[str, list] = {
         ("prune-every", int, -1, None, None),
         ("prune-at-epoch", int, -1, None, None),
         ("prune-at-start", B, False, None, None),
+        # early conservative occupancy seeding (TPU-native: recovers the packed
+        # reference layout's epoch-0 empty-space skipping; see trainer.prune)
+        ("seed-prune-epoch", int, -1, None, None),
+        ("seed-keep-frac", float, 0.2, None, None),
         ("inst-num-dilations", int, -1, None, None),
         # minimum instance-mask pixel count kept by the validation cleanup; the
         # reference hardcodes 100 (tuned for 1280x720 berries,

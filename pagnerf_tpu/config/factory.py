@@ -159,6 +159,8 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         val_extrinsics_every=max(args.val_extrinsics_every, 1),
         prune_every=args.prune_every, prune_at_epoch=args.prune_at_epoch,
         prune_at_start=args.prune_at_start,
+        seed_prune_epoch=getattr(args, "seed_prune_epoch", -1),
+        seed_keep_frac=getattr(args, "seed_keep_frac", 0.2),
         voxel_raymarch_epoch_start=(args.voxel_raymarch_epoch_start
                                     if args.voxel_raymarch_epoch_start > 0
                                     else 10 ** 9),

@@ -102,6 +102,20 @@ class TrainerConfig:
     # -1 = auto (num_steps // 4), 0 = disabled (see TracerConfig.compact_steps).
     compact_steps_after_prune: int = -1
 
+    # Early occupancy seeding: a CONSERVATIVE prune (extra mask dilation, no
+    # optimizer re-init, generous keep floor) after a few warm-up epochs, so
+    # sample compaction covers most of the long pre-prune regime too. The
+    # packed CUDA reference gets empty-space skipping from its ragged layout
+    # for the whole schedule (panoptic_packed_rf_tracer.py:85-109); the dense
+    # TPU layout recovers it through occupancy + compaction, which otherwise
+    # only start at the reference's late prune epoch (201 of 800). -1 = off.
+    seed_prune_epoch: int = -1
+    # floor on the kept-cell fraction for the seed prune: if thresholding keeps
+    # fewer cells (unconverged density field), keep the top seed_keep_frac
+    # densest instead — a too-aggressive early prune wipes the scene
+    # (docs/convergence diagnosis #2)
+    seed_keep_frac: float = 0.2
+
     # wisp-stock multi-LoD training: zero the feature weights of levels above a
     # random cutoff each step (reference --random-lod flag). Implemented through the
     # lod_weights input, so it never retraces.
@@ -443,7 +457,7 @@ class PanopticTrainer:
         return {k: v / num_micro for k, v in acc_l.items()}
 
     # -------------------------------------------------------------- prune
-    def prune(self, chunk: int = 65536):
+    def prune(self, chunk: int = 65536, seed: bool = False):
         """Occupancy maintenance (reference nef.prune + optimizer re-init,
         trainer.py:336-358, panoptic_delta_nef.py:63-104).
 
@@ -452,7 +466,13 @@ class PanopticTrainer:
         points (default 4). One sample misses thin surfaces whose density peak
         covers a fraction of the cell, permanently punching holes into walls
         (dead cells are never marched again); extra samples cut the miss
-        probability geometrically for a few seconds of prune-time compute."""
+        probability geometrically for a few seconds of prune-time compute.
+
+        ``seed=True`` runs the conservative early-seeding variant (see
+        ``seed_prune_epoch``): one extra mask dilation, a ``seed_keep_frac``
+        keep floor against unconverged fields, and NO optimizer re-init (the
+        table topology did not change; the re-init belongs to the reference's
+        real prune)."""
         channels = ("density",)
         if "panoptic_density" in self.pipeline.nef.supported_channels():
             channels = ("density", "panoptic_density")
@@ -477,14 +497,25 @@ class PanopticTrainer:
                 dens.append(density_at(self.params, centers[i:i + chunk]))
             d = jnp.concatenate(dens)
             density = d if density is None else jnp.maximum(density, d)
-        self.occ = self.occ.update_from_density(
-            density, dilate=getattr(self.cfg, "prune_dilate", 1))
+        dilate = getattr(self.cfg, "prune_dilate", 1) + (1 if seed else 0)
+        new_occ = self.occ.update_from_density(density, dilate=dilate)
+        if seed:
+            frac = float(new_occ.mask.mean())
+            keep = float(getattr(self.cfg, "seed_keep_frac", 0.2))
+            if frac < keep:
+                # unconverged field below the reference density threshold:
+                # keep the top-keep_frac densest cells (+ dilation) instead
+                thr = float(np.quantile(np.asarray(new_occ.occupancy), 1.0 - keep))
+                new_occ = new_occ.update_from_density(
+                    new_occ.occupancy, decay=1.0, min_density=thr, dilate=dilate)
+        self.occ = new_occ
         self._pruned = True   # enables post-prune sample compaction in new stages
         self._occ_frac = float(self.occ.mask.mean())
-        # optimizer re-init after topology change (trainer.py:357-358)
-        self.opt_state = self.tx.init(self.params)
-        occ_frac = float(self.occ.mask.mean())
-        log.info("pruned occupancy: %.1f%% cells occupied", 100 * occ_frac)
+        if not seed:
+            # optimizer re-init after topology change (trainer.py:357-358)
+            self.opt_state = self.tx.init(self.params)
+        log.info("%spruned occupancy: %.1f%% cells occupied",
+                 "seed-" if seed else "", 100 * self._occ_frac)
 
     # -------------------------------------------------------------- epochs
     def should_prune(self, epoch: int) -> bool:
@@ -495,6 +526,10 @@ class PanopticTrainer:
 
     def run_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
+        if (getattr(cfg, "seed_prune_epoch", -1) >= 0
+                and epoch >= cfg.seed_prune_epoch
+                and not getattr(self, "_pruned", False)):
+            self.prune(seed=True)
         stage = self.stage_for_epoch(epoch)
         if cfg.lod_anneling and epoch >= cfg.lod_annel_epoch_start:
             nef = self.pipeline.nef

@@ -164,3 +164,47 @@ def test_masked_update_suffix_collision():
     # frozen leaf's moments restored exactly
     np.testing.assert_array_equal(np.asarray(new_state[0].mu["grid"]["tables"]),
                                   np.asarray(state[0].mu["grid"]["tables"]))
+
+
+def test_seed_prune_conservative_and_enables_compaction():
+    """Early occupancy seeding: trainer.prune(seed=True) on an unconverged field
+    must keep at least ~seed_keep_frac of cells (never wipe the scene), leave
+    the optimizer state untouched, and enable sample compaction in the next
+    stage (the pre-prune regime lever, VERDICT r2 #2a)."""
+    import dataclasses as _dc
+
+    trainer, ds = make_trainer()
+    trainer.cfg = _dc.replace(trainer.cfg, seed_prune_epoch=1, seed_keep_frac=0.2,
+                              compact_steps_after_prune=-1)
+    rng = np.random.default_rng(4)
+    trainer.train_step(trainer.stage_for_epoch(0),
+                       trainer.dataset.sample_batch(rng, 2, 64))
+    opt_before = jax.tree.leaves(trainer.opt_state)
+    trainer.prune(seed=True)
+    frac = float(trainer.occ.mask.mean())
+    # conservative: keep floor holds even on an unconverged density field
+    assert frac >= 0.2 * 0.9, f"seed prune kept only {frac:.1%} of cells"
+    assert frac < 1.0
+    assert trainer._pruned
+    # no optimizer re-init on seed (moments preserved)
+    opt_after = jax.tree.leaves(trainer.opt_state)
+    assert all(a is b or np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(opt_before, opt_after))
+    # at this toy scale the dilated seed covers most of the 8^3 grid, and the
+    # auto formula correctly declines to compact a dense field; at a
+    # flagship-like sparsity the next stage must compact
+    assert trainer.stage_for_epoch(2).compact_steps == 0
+    trainer._occ_frac = 0.1
+    stage = trainer.stage_for_epoch(2)
+    assert 0 < stage.compact_steps < stage.num_steps
+
+
+def test_run_epoch_triggers_seed_prune():
+    import dataclasses as _dc
+
+    trainer, ds = make_trainer(epochs=3)
+    trainer.cfg = _dc.replace(trainer.cfg, seed_prune_epoch=1)
+    trainer.run_epoch(0)
+    assert not getattr(trainer, "_pruned", False)
+    trainer.run_epoch(1)
+    assert trainer._pruned
