@@ -49,6 +49,51 @@ def render_channels_for_view(trainer, idx: int,
     supported = trainer.pipeline.nef.supported_channels()
     chans = {c for c in channels if c in supported or c in ("depth",)}
     rb = trainer.batch_render(rays, chans, cam_idx=cam_idx)
+    return _colourise(trainer, rb, h, w)
+
+
+def pose_from_orbit(azimuth_deg: float, elevation_deg: float, radius: float,
+                    target=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Camera-to-world look-at pose on an orbit around ``target`` (GL convention,
+    camera looks down -z) — the pose synthesis behind the viewer's free camera
+    (reference wisp interactive camera, app/app.py:276-309)."""
+    az = np.deg2rad(azimuth_deg)
+    el = np.deg2rad(np.clip(elevation_deg, -89.0, 89.0))
+    target = np.asarray(target, np.float64)
+    eye = target + radius * np.array([np.cos(el) * np.cos(az), np.sin(el),
+                                      np.cos(el) * np.sin(az)])
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= max(np.linalg.norm(right), 1e-9)
+    up = np.cross(right, fwd)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = right, up, -fwd
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def render_channels_for_pose(trainer, c2w: np.ndarray,
+                             channels=("rgb", "depth", "semantics",
+                                       "inst_embedding")) -> Dict[str, np.ndarray]:
+    """Render an ARBITRARY camera pose (free-viewpoint camera): the dataset's
+    camera-space base rays are rotated/translated by ``c2w`` into world space and
+    rendered without any per-frame learned extrinsics."""
+    ds = trainer.dataset
+    h, w = ds.img_shape
+    base = ds.data["base_rays_dirs"].reshape(-1, 3)
+    d = (base @ np.asarray(c2w)[:3, :3].T).astype(np.float32)
+    o = np.broadcast_to(np.asarray(c2w)[:3, 3], d.shape).astype(np.float32)
+    rays = Rays(origins=jnp.asarray(o), dirs=jnp.asarray(d),
+                dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+    supported = trainer.pipeline.nef.supported_channels()
+    chans = {c for c in channels if c in supported or c in ("depth",)}
+    rb = trainer.batch_render(rays, chans, cam_idx=None)
+    return _colourise(trainer, rb, h, w)
+
+
+def _colourise(trainer, rb, h: int, w: int) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if rb.rgb is not None:
         out["rgb"] = (np.clip(np.asarray(rb.rgb).reshape(h, w, 3), 0, 1)

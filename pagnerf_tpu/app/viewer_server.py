@@ -28,7 +28,8 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from .orbit_renderer import embedding_distance_image, render_channels_for_view
+from .orbit_renderer import (embedding_distance_image, pose_from_orbit,
+                             render_channels_for_pose, render_channels_for_view)
 
 CHANNELS = ("rgb", "depth", "semantics", "instance")
 
@@ -40,10 +41,16 @@ button.on{background:#265}#frame{image-rendering:pixelated;max-width:90vw;border
 <div id=bar></div>
 <div><button onclick="mv(-1)">&lt; prev view</button><span id=vi></span>
 <button onclick="mv(1)">next view &gt;</button>
+<button id=fc onclick="togglefree()">free cam</button>
 <button onclick="train()">train 1 epoch</button><span id=st></span></div>
+<div id=freebar style="display:none">
+<button onclick="orb(-15,0,0)">&#8592;</button><button onclick="orb(15,0,0)">&#8594;</button>
+<button onclick="orb(0,10,0)">&#8593;</button><button onclick="orb(0,-10,0)">&#8595;</button>
+<button onclick="orb(0,0,-0.25)">zoom+</button><button onclick="orb(0,0,0.25)">zoom-</button>
+<span id=cam></span> <span>(or arrow keys / +/-)</span></div>
 <img id=frame onclick="clk(event)">
 <script>
-let info={views:[],channels:[]},v=0,ch='rgb';
+let info={views:[],channels:[]},v=0,ch='rgb',free=false,az=0,el=20,rad=2.2;
 async function load(){info=await (await fetch('api/info')).json();
  const bar=document.getElementById('bar');bar.innerHTML='';
  for(const c of info.channels){const b=document.createElement('button');
@@ -52,9 +59,22 @@ async function load(){info=await (await fetch('api/info')).json();
 function refresh(){document.getElementById('vi').textContent=' view '+info.views[v]+' ';
  for(const c of info.channels)document.getElementById('ch_'+c).className=c==ch?'on':'';
  document.getElementById('st').textContent=' epoch '+info.epoch+(info.training?' [training]':'');
- document.getElementById('frame').src='api/frame?view='+info.views[v]+'&channel='+ch+'&t='+Date.now()}
-function mv(d){v=(v+d+info.views.length)%info.views.length;refresh()}
-function clk(e){const im=e.target,r=im.getBoundingClientRect();
+ document.getElementById('fc').className=free?'on':'';
+ document.getElementById('freebar').style.display=free?'':'none';
+ document.getElementById('cam').textContent=' az '+az+' el '+el+' r '+rad.toFixed(2);
+ document.getElementById('frame').src=free
+  ?'api/free_frame?az='+az+'&el='+el+'&r='+rad+'&channel='+ch+'&t='+Date.now()
+  :'api/frame?view='+info.views[v]+'&channel='+ch+'&t='+Date.now()}
+function mv(d){free=false;v=(v+d+info.views.length)%info.views.length;refresh()}
+function togglefree(){free=!free;refresh()}
+function orb(da,de,dr){az=(az+da+360)%360;el=Math.max(-85,Math.min(85,el+de));
+ rad=Math.max(0.3,Math.min(8,rad+dr));refresh()}
+document.addEventListener('keydown',e=>{if(!free)return;
+ if(e.key=='ArrowLeft')orb(-15,0,0);else if(e.key=='ArrowRight')orb(15,0,0);
+ else if(e.key=='ArrowUp')orb(0,10,0);else if(e.key=='ArrowDown')orb(0,-10,0);
+ else if(e.key=='+'||e.key=='=')orb(0,0,-0.25);else if(e.key=='-')orb(0,0,0.25);
+ else return;e.preventDefault()});
+function clk(e){if(free)return;const im=e.target,r=im.getBoundingClientRect();
  const x=Math.floor((e.clientX-r.left)*im.naturalWidth/r.width);
  const y=Math.floor((e.clientY-r.top)*im.naturalHeight/r.height);
  im.src='api/click?view='+info.views[v]+'&y='+y+'&x='+x+'&t='+Date.now()}
@@ -80,7 +100,7 @@ class ViewerState:
     def __init__(self, trainer):
         self.trainer = trainer
         self.lock = threading.Lock()
-        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._cache: Dict[object, Dict[str, np.ndarray]] = {}
         self._train_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.last_losses: Dict[str, float] = {}
@@ -104,6 +124,21 @@ class ViewerState:
 
     def frame(self, view: int, channel: str) -> Optional[np.ndarray]:
         return self.channels_for_view(view).get(channel)
+
+    # free-viewpoint camera (reference wisp interactive camera, app.py:276-309):
+    # orbit poses keyed by (az, el, radius) rounded to viewer step granularity
+    def free_frame(self, az: float, el: float, radius: float,
+                   channel: str) -> Optional[np.ndarray]:
+        key = ("free", round(az, 1), round(el, 1), round(radius, 2))
+        frames = self._cache.get(key)
+        if frames is None:
+            with self.lock:
+                frames = self._cache.get(key)
+                if frames is None:
+                    c2w = pose_from_orbit(az, el, radius)
+                    frames = render_channels_for_pose(self.trainer, c2w)
+                    self._cache[key] = frames
+        return frames.get(channel)
 
     def click(self, view: int, y: int, x: int) -> Optional[np.ndarray]:
         emb = self.channels_for_view(view).get("_inst_embedding")
@@ -172,6 +207,12 @@ class _Handler(BaseHTTPRequestHandler):
                 "losses": {k: float(v) for k, v in st.last_losses.items()}})
         if url.path == "/api/frame":
             img = st.frame(int(q.get("view", st.views[0])), q.get("channel", "rgb"))
+            if img is None:
+                return self._json({"error": "channel unavailable"}, 404)
+            return self._send(200, _png_bytes(img), "image/png")
+        if url.path == "/api/free_frame":
+            img = st.free_frame(float(q.get("az", 0.0)), float(q.get("el", 20.0)),
+                                float(q.get("r", 2.2)), q.get("channel", "rgb"))
             if img is None:
                 return self._json({"error": "channel unavailable"}, 404)
             return self._send(200, _png_bytes(img), "image/png")

@@ -98,3 +98,33 @@ def test_render_views_cli(tmp_path):
     assert pngs, "expected rgb PNG frames on disk"
     # mp4s are written when ffmpeg is available; write_video falls back to PNG
     # strips otherwise, so only the PNG frames are asserted here
+
+
+def test_free_camera_frames(viewer):
+    """Free-viewpoint camera (reference wisp interactive camera,
+    app/app.py:276-309): arbitrary orbit poses render across channels, distinct
+    poses give distinct frames, repeated poses hit the cache."""
+    base, state = viewer
+    code, ctype, body = _get(f"{base}/api/free_frame?az=0&el=20&r=2.2&channel=rgb")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    code, _, body2 = _get(f"{base}/api/free_frame?az=90&el=-10&r=1.5&channel=rgb")
+    assert code == 200 and body2 != body
+    code, _, body3 = _get(f"{base}/api/free_frame?az=0&el=20&r=2.2&channel=depth")
+    assert code == 200
+    # cache hit: same pose+channel returns identical bytes
+    _, _, body4 = _get(f"{base}/api/free_frame?az=0&el=20&r=2.2&channel=rgb")
+    assert body4 == body
+
+
+def test_pose_from_orbit_look_at():
+    from pagnerf_tpu.app.orbit_renderer import pose_from_orbit
+
+    c2w = pose_from_orbit(30.0, 15.0, 2.0)
+    eye = c2w[:3, 3]
+    assert abs(np.linalg.norm(eye) - 2.0) < 1e-6
+    # -z column points from eye toward the target (origin)
+    fwd = -c2w[:3, 2]
+    np.testing.assert_allclose(fwd, -eye / np.linalg.norm(eye), atol=1e-6)
+    # orthonormal rotation
+    R = c2w[:3, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
