@@ -212,10 +212,15 @@ def main():
                                     level=trainer.occ.level)
         trainer._occ_frac = float(trainer.occ.mask.mean())
         stage_conv = trainer.stage_for_epoch(3)
+        cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
+        micro_conv = max(m for m in range(1, batch_size + 1)
+                         if batch_size % m == 0
+                         and m * rays_per_img * max(stage_conv.compact_steps, 1)
+                         <= cap)
         note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
              f"compact budget {stage_conv.compact_steps}")
         post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
-                                   micro_post)
+                                   micro_conv)
 
     # ---- schedule-weighted throughput (801 reference epochs) --------------
     seg = [(SEED_EPOCH, pre_rays), (PRUNE_EPOCH - SEED_EPOCH, seeded_rays),

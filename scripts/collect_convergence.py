@@ -68,6 +68,16 @@ def main(run_dir: str, docs_dir: str = "docs/convergence") -> None:
              f"{last.get('val/rq_all', 0):.3f} |",
              f"| mAP / mAP50 | {last.get('val/map', 0):.3f} / "
              f"{last.get('val/map_50', 0):.3f} |"]
+    if last.get("val/iou_pred", 0) > 0:
+        # prediction-supervised run: report the 2-D baseline and the gains —
+        # the reference's own success criterion (pc_nerf/trainer.py:906-914)
+        lines += [
+            f"| 2-D baseline IoU (input predictions) | {last.get('val/iou_pred', 0):.3f} |",
+            f"| **IoU gain over 2-D input** | **{last.get('val/iou_gain', 0):+.3f}** |",
+            f"| 2-D baseline PQ-things | {last.get('val/pq_things_pred', 0):.3f} |",
+            f"| **PQ-things gain over 2-D input** | **{last.get('val/pq_things_gain', 0):+.3f}** |",
+            f"| 2-D baseline mAP / mAP50 | {last.get('val/map_pred', 0):.3f} / "
+            f"{last.get('val/map_50_pred', 0):.3f} |"]
     readme = docs / "README.md"
     if not readme.exists():
         shutil.copy(Path("docs/convergence/README.md"), readme)
