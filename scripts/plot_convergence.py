@@ -112,10 +112,18 @@ def main(run_dir: str, out: str = None,
             xs, ys = zip(*pts)
             ax.plot(xs, ys, color=SERIES[i], linewidth=2, marker="o",
                     markersize=4, label=key.split("/")[-1])
+    # 2-D prediction baselines (pred-supervised runs): dashed lines the NeRF
+    # must clear — the reference's gain criterion (pc_nerf/trainer.py:906-914)
+    for i, key in enumerate(("val/pq_things_pred", "val/iou_pred")):
+        pts = [(m["epoch"], m[key]) for m in metrics if m.get(key, 0) > 0]
+        if pts:
+            xs, ys = zip(*pts)
+            ax.plot(xs, ys, color=SERIES[1 if i == 0 else 3], linewidth=1.4,
+                    linestyle="--", label=key.split("/")[-1] + " (2-D input)")
     ax.set_ylim(0, 1)
     ax.set_ylabel("panoptic quality", color=INK)
     ax.set_xlabel("epoch", color=INK)
-    ax.legend(frameon=False, fontsize=9, labelcolor=INK, ncols=4)
+    ax.legend(frameon=False, fontsize=8, labelcolor=INK, ncols=3)
 
     # stage-transition markers on every panel
     for name, ep in (transitions or {}).items():
