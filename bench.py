@@ -5,18 +5,23 @@ tracer -> panoptic losses -> Adam) at the reference's best.yaml scale: batch 6 i
 x 4096 rays = 24,576 rays/step, PermutoGrid 24 LoDs x 2^18 x 2 (x2 grids), all
 panoptic losses + pose optimisation. Prints ONE JSON line.
 
-THREE regimes are measured, mirroring the reference's schedule (best.yaml: prune +
-ray->voxel switch at epoch 201 of 800) plus the framework's early occupancy seeding:
-  * pre-prune   — ray mode, 512 samples/ray, dense occupancy (epochs 0..SEED).
-  * seeded      — ray mode, conservative seed prune (trainer.prune(seed=True)) +
+FOUR schedule segments are measured, mirroring the reference's best.yaml run
+epoch for epoch (prune + ray->voxel switch at epoch 201 of 800; panoptic heads
+ONLY from epoch 601 — sem/inst epoch_start, SURVEY §6 — so 600 of the 801
+epochs are rgb+pose-only steps where the delta grid never runs), plus the
+framework's early occupancy seeding:
+  * pre (rgb)     — ray mode, 512 samples/ray, dense occupancy (epochs 0..SEED).
+  * seeded (rgb)  — ray mode, conservative seed prune (trainer.prune(seed=True)) +
     occupancy-adaptive sample compaction (epochs SEED..201; the packed CUDA
     reference's ragged layout gives it this empty-space skipping from epoch 0).
-  * post-prune  — voxel mode, 2 samples/voxel (256 steps) compacted via occupancy
-    skipping, micro_batch=6 (epochs 201..800).
-The HEADLINE number is the SCHEDULE-WEIGHTED throughput over the reference's
-801-epoch schedule (epoch counts above), not the best regime. A fourth probe times
-the post-prune step at the convergence run's real ~25% occupancy (auto-compaction
-budget 128 instead of the sparse-field 64) so the deployed regime is on record.
+  * post (rgb)    — voxel mode, 2 samples/voxel (256 steps) compacted via
+    occupancy skipping, micro_batch=6 (epochs 201..601).
+  * post (panoptic) — same regime with ALL panoptic losses + both grids
+    (epochs 601..800; this is also the r1/r2-comparable "post_prune" number).
+The HEADLINE number is the SCHEDULE-WEIGHTED throughput over those 801 epochs,
+not the best regime. A fifth probe times the panoptic post-prune step at the
+convergence run's real ~25% occupancy (auto-compaction budget 144 instead of the
+sparse-field 64) so the deployed regime is on record.
 Every timed step prints an evolving rgb_loss: throughput claims are only valid with
 real training progress (axon result-caching artifacts read as 1000x wins otherwise —
 see PERFORMANCE.md).
@@ -35,9 +40,11 @@ import time
 
 REFERENCE_RAYS_PER_SEC = 370_000.0  # estimated CUDA reference throughput (see above)
 
-# reference 801-epoch schedule segments (best.yaml prune at 201; seeding at 20)
+# reference 801-epoch schedule segments (best.yaml: prune at 201, panoptic
+# heads from 601; seeding at 20 is this framework's addition)
 SEED_EPOCH = 20
 PRUNE_EPOCH = 201
+SEM_EPOCH = 601
 TOTAL_EPOCHS = 801
 
 
@@ -125,12 +132,20 @@ def main():
         note(f"{label}: {rays:.1f} rays/s")
         return rays
 
+    def rgb_only(stage):
+        # The reference trains rgb+pose ONLY for epochs < sem/inst_epoch_start
+        # (601 of 801 in best.yaml): no panoptic channels -> the delta grid,
+        # its dual gather/scatter, and the sem/inst heads are never traced.
+        return dataclasses.replace(
+            stage, channels=frozenset({"rgb"}), use_sem=False, use_inst=False,
+            use_inst_segment_reg=False)
+
     start = time.perf_counter()
 
     # ---- phase 1: pre-prune (ray mode, 512 steps, dense occupancy) --------
     stage_pre = trainer.stage_for_epoch(0)
     assert stage_pre.raymarch_type == "ray" and stage_pre.compact_steps == 0
-    pre_rays = run_phase(stage_pre, "pre", pre_iters, start, 1)
+    pre_rays = run_phase(rgb_only(stage_pre), "pre[rgb]", pre_iters, start, 1)
 
     # ---- phase 2: seeded pre-prune (conservative seed + compaction) -------
     # A real run seeds from a ~20-epoch field; the bench's 4-step field is
@@ -155,16 +170,22 @@ def main():
         trainer._occ_frac = seed_frac = float(trainer.occ.mask.mean())
         note(f"unconverged bench field — forced representative seed occupancy "
              f"{100 * seed_frac:.1f}%")
+    # rgb-only segments fit ~2x the samples of a full-panoptic microbatch
+    # (single grid, no dual scatter, no saved panoptic activations)
+    cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
+    cap_rgb = float(os.environ.get("BENCH_SAMPLE_CAP_RGB", 2 * cap))
+
+    def micro_for(stage, sample_cap):
+        steps = stage.compact_steps or stage.num_steps
+        return max(m for m in range(1, batch_size + 1)
+                   if batch_size % m == 0
+                   and m * rays_per_img * steps <= sample_cap)
+
     stage_seed = trainer.stage_for_epoch(0)
     seeded_rays = pre_rays
     if stage_seed.compact_steps > 0:
-        # largest divisor of the batch whose samples/microbatch fit the
-        # pre-prune HBM envelope (mb=1 x 512 samples = 2.1M samples)
-        cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
-        micro_seed = max(m for m in range(1, batch_size + 1)
-                         if batch_size % m == 0
-                         and m * rays_per_img * stage_seed.compact_steps <= cap)
-        seeded_rays = run_phase(stage_seed, "seeded", pre_iters, start, micro_seed)
+        seeded_rays = run_phase(rgb_only(stage_seed), "seeded[rgb]", pre_iters,
+                                start, micro_for(stage_seed, cap_rgb))
     else:
         note(f"seeded field too dense for compaction — regime parity with pre "
              f"(pruned={getattr(trainer, '_pruned', None)} "
@@ -196,12 +217,17 @@ def main():
     occ_frac = hard_prune()
     note(f"pruned: {100 * occ_frac:.2f}% cells occupied")
 
-    # ---- phase 3: post-prune (voxel mode + compaction) --------------------
+    # ---- phase 3: post-prune rgb (voxel mode + compaction, epochs 201-601)
     stage_post = trainer.stage_for_epoch(3)
     assert stage_post.raymarch_type == "voxel" and stage_post.compact_steps > 0
-    post_rays = run_phase(stage_post, "post", max_iters, start, micro_post)
+    post_rgb_rays = run_phase(rgb_only(stage_post), "post[rgb]", max_iters,
+                              start, micro_post)
 
-    # ---- phase 4: post-prune at the convergence run's ~25% occupancy ------
+    # ---- phase 4: post-prune panoptic (epochs 601-800; r1/r2-comparable) --
+    post_rays = run_phase(stage_post, "post[panoptic]", max_iters, start,
+                          micro_post)
+
+    # ---- phase 5: panoptic post-prune at the convergence run's ~25% occ ---
     post_conv_rays = None
     if probe_conv_occ and time.perf_counter() - start < budget:
         from pagnerf_tpu.ops.occupancy import OccupancyGrid
@@ -212,32 +238,30 @@ def main():
                                     level=trainer.occ.level)
         trainer._occ_frac = float(trainer.occ.mask.mean())
         stage_conv = trainer.stage_for_epoch(3)
-        cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
-        micro_conv = max(m for m in range(1, batch_size + 1)
-                         if batch_size % m == 0
-                         and m * rays_per_img * max(stage_conv.compact_steps, 1)
-                         <= cap)
         note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
              f"compact budget {stage_conv.compact_steps}")
         post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
-                                   micro_conv)
+                                   micro_for(stage_conv, cap))
 
     # ---- schedule-weighted throughput (801 reference epochs) --------------
     seg = [(SEED_EPOCH, pre_rays), (PRUNE_EPOCH - SEED_EPOCH, seeded_rays),
-           (TOTAL_EPOCHS - PRUNE_EPOCH, post_rays)]
+           (SEM_EPOCH - PRUNE_EPOCH, post_rgb_rays),
+           (TOTAL_EPOCHS - SEM_EPOCH, post_rays)]
     weighted = sum(e for e, _ in seg) / sum(e / r for e, r in seg)
     note(f"schedule-weighted: {weighted:.1f} rays/s "
-         f"(epochs {SEED_EPOCH} pre @ {pre_rays:.0f} + "
-         f"{PRUNE_EPOCH - SEED_EPOCH} seeded @ {seeded_rays:.0f} + "
-         f"{TOTAL_EPOCHS - PRUNE_EPOCH} post @ {post_rays:.0f})")
+         f"(epochs {SEED_EPOCH} pre[rgb] @ {pre_rays:.0f} + "
+         f"{PRUNE_EPOCH - SEED_EPOCH} seeded[rgb] @ {seeded_rays:.0f} + "
+         f"{SEM_EPOCH - PRUNE_EPOCH} post[rgb] @ {post_rgb_rays:.0f} + "
+         f"{TOTAL_EPOCHS - SEM_EPOCH} post[panoptic] @ {post_rays:.0f})")
 
     out = {
         "metric": "train_rays_per_sec_schedule_weighted",
         "value": round(weighted, 1),
         "unit": "rays/s",
         "vs_baseline": round(weighted / REFERENCE_RAYS_PER_SEC, 3),
-        "pre_prune": round(pre_rays, 1),
-        "seeded": round(seeded_rays, 1),
+        "pre_prune_rgb": round(pre_rays, 1),
+        "seeded_rgb": round(seeded_rays, 1),
+        "post_prune_rgb": round(post_rgb_rays, 1),
         "post_prune": round(post_rays, 1),
         "seed_occ_frac": round(seed_frac, 4),
         "post_occ_frac": round(occ_frac, 4),

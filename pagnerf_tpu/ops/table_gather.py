@@ -261,18 +261,21 @@ def _ml_bwd(rows_used, res, g):
     tdtype = tables_or_spec.dtype
     v, n = idx.shape[1:]
     if _use_mxu_scatter(c, f):
-        from .pallas_scatter import table_grad_matmul
+        from .pallas_scatter import table_grad_matmul_T
         rows_full = (c * f) // LANES
         k = _split_levels(rows_used, rows_full)
 
+        # Full-R levels also use the lane-major [1, M]/[F, M] event layout:
+        # the [M, 1] column layout lane-pads 128x in HBM (T(8,128) tiling),
+        # which at flagship scale materialises ~4.25 GB per 34 MB operand and
+        # OOM'd the 16 GB chip with several alive at once (bench round 3).
         def body(_, level_in):
             i_l, b_l, g_l = level_in
-            return None, table_grad_matmul(i_l, b_l, g_l, c, f)
+            return None, table_grad_matmul_T(i_l, b_l, g_l, c, f, rows_used=0)
 
         if k == 0:
             _, dtables = jax.lax.scan(body, None, (idx, bary, g))
         else:
-            from .pallas_scatter import table_grad_matmul_T
             parts = [table_grad_matmul_T(idx[lv], bary[lv], g[lv], c, f,
                                          rows_used=rows_used[lv])
                      for lv in range(k)]   # exact-rows unrolled (lane-major)
@@ -370,18 +373,20 @@ def _dual_bwd(rows_used, res, g):
     g_a, g_b = g                                          # each [L, F, N]
     l, c, f = spec_a.shape
     if _use_mxu_scatter(c, f):
-        from .pallas_scatter import table_grad_matmul_dual
+        from .pallas_scatter import table_grad_matmul_dual_T
         rows_full = (c * f) // LANES
         k = _split_levels(rows_used, rows_full)
 
+        # lane-major events for full-R levels too — see _ml_bwd for why the
+        # [M, 1] column layout is a 128x HBM hazard.
         def body(_, level_in):
             i_l, b_l, ga_l, gb_l = level_in
-            return None, table_grad_matmul_dual(i_l, b_l, ga_l, gb_l, c, f)
+            return None, table_grad_matmul_dual_T(i_l, b_l, ga_l, gb_l, c, f,
+                                                  rows_used=0)
 
         if k == 0:
             _, (dta, dtb) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
         else:
-            from .pallas_scatter import table_grad_matmul_dual_T
             pa, pb = [], []
             for lv in range(k):   # exact-rows unrolled kernels (lane-major)
                 a_lv, b_lv = table_grad_matmul_dual_T(
