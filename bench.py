@@ -170,10 +170,12 @@ def main():
         trainer._occ_frac = seed_frac = float(trainer.occ.mask.mean())
         note(f"unconverged bench field — forced representative seed occupancy "
              f"{100 * seed_frac:.1f}%")
-    # rgb-only segments fit ~2x the samples of a full-panoptic microbatch
-    # (single grid, no dual scatter, no saved panoptic activations)
+    # The HBM envelope is set by the [L, V, 3, N] lattice-index intermediates
+    # (permuto_encoding), which the rgb-only path computes in full — so the
+    # rgb segments get the SAME per-microbatch sample cap as panoptic ones
+    # (3.3M samples rgb-only compile-OOMs by 90 MB; 2.23M fits either way).
     cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
-    cap_rgb = float(os.environ.get("BENCH_SAMPLE_CAP_RGB", 2 * cap))
+    cap_rgb = float(os.environ.get("BENCH_SAMPLE_CAP_RGB", cap))
 
     def micro_for(stage, sample_cap):
         steps = stage.compact_steps or stage.num_steps

@@ -25,3 +25,21 @@ def test_asha_rungs_continue_training(tmp_path):
     assert int(state["global_step"]) > 0
     with open(os.path.join(str(tmp_path), "sweep_results.json")) as f:
         assert len(json.load(f)) == 2
+
+
+def test_concurrent_trials_match_serial_protocol(tmp_path):
+    """--num-workers > 1 runs trials as subprocess workers (the reference's
+    Ray model: concurrent trials, 1 accelerator each) and produces the same
+    artifacts as the serial path: per-trial checkpoints + scored results."""
+    from main_hp_tunning import asha_sweep
+
+    base = ["--config", "configs/synthetic/tiny.yaml",
+            "--log-dir", str(tmp_path), "--valid-every", "-1",
+            "--epochs", "1"]
+    results = asha_sweep(base, {"lr": [5e-3, 1e-3]}, str(tmp_path),
+                         rung_epochs=1, num_rungs=1,
+                         num_workers=2, worker_platform="cpu")
+    assert len(results) == 2
+    for r in results:
+        assert "val/psnr" in r["metrics"]
+        assert os.path.exists(os.path.join(str(tmp_path), f"{r['trial']}.ckpt"))
