@@ -1,0 +1,132 @@
+"""Ablate the instance decode/post-processing chain on a trained checkpoint.
+
+VERDICT round 2 (weak #3): instance quality on the synthetic schedule scene was
+poor (PQ-things 0.394 / mAP 0.072) with no diagnosis of which stage of the
+decode chain — raw embedding argmax, semantic gating, morphological opening,
+center-of-mass outlier rejection, small-mask drop (reference trainer.py:737-772)
+— is responsible. This script renders the labeled validation views ONCE from a
+checkpoint and scores PQ/SQ/RQ + mAP under each decode variant, so the chain's
+contribution is measured instead of guessed.
+
+Usage:
+    python scripts/ablate_instance_decode.py <run_dir> [--split val]
+where <run_dir> contains the run's config.yaml snapshot and model.ckpt.
+Writes <run_dir>/ablate_decode.json and prints a table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("run_dir")
+    p.add_argument("--split", default="val")
+    p.add_argument("--ckpt", default=None)
+    ns = p.parse_args(argv)
+
+    from pagnerf_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from pagnerf_tpu.config.config import parse_options
+    from pagnerf_tpu.config.factory import get_modules_from_config
+    from pagnerf_tpu.train import checkpoint
+    from pagnerf_tpu.train.validation import _rays_from
+    from pagnerf_tpu.utils.metrics import MeanAveragePrecision, PanopticQuality
+    from pagnerf_tpu.utils.postprocess import clean_instance_map
+
+    cfg_path = os.path.join(ns.run_dir, "config.yaml")
+    ckpt_path = ns.ckpt or os.path.join(ns.run_dir, "model.ckpt")
+    args = parse_options(["--config", cfg_path, "--valid-only"])
+    _, dataset, trainer = get_modules_from_config(args)
+    checkpoint.load_checkpoint(ckpt_path, trainer, "full")
+    cfg = trainer.cfg
+    sem_info = dataset.semantic_info
+    stuff_ids = np.asarray(sem_info["stuff_ids"])
+
+    data = dataset.get_images(split=ns.split, mip=0)
+    h, w = data["imgs"].shape[1:3]
+    use_base = cfg.optimize_val_extrinsics
+
+    # ---- render labeled views once --------------------------------------
+    views = []
+    for i in range(data["imgs"].shape[0]):
+        sem_gts = np.asarray(data["semantics"][i]).reshape(h, w)
+        inst_gts = np.asarray(data["instance"][i]).reshape(h, w)
+        if np.all(sem_gts == -1) or np.all(inst_gts == -1):
+            continue
+        rays = _rays_from(data, i, use_base)
+        cam_idx = int(data["cam_idx"][i]) if use_base else None
+        rb = trainer.batch_render(rays, {"rgb", "semantics", "inst_embedding"},
+                                  cam_idx=cam_idx)
+        views.append({
+            "sem_map": np.argmax(np.asarray(rb.semantics), -1).reshape(h, w),
+            "e": np.asarray(rb.inst_embedding),
+            "sem_gts": sem_gts, "inst_gts": inst_gts,
+        })
+    print(f"# {len(views)} labeled {ns.split} views rendered", flush=True)
+
+    def decode(v, gated: bool):
+        if gated:
+            # slot 0 is trained to mean "stuff" (lin_assignment things
+            # construction); the semantic head decides stuff-vs-things
+            things_px = ~np.isin(v["sem_map"], stuff_ids)
+            return np.where(things_px,
+                            1 + np.argmax(v["e"][:, 1:], -1).reshape(h, w), 0)
+        return np.argmax(v["e"], -1).reshape(h, w)
+
+    variants = {
+        # name: (gated, num_dilations, outlier_rejection, min_mask_px)
+        "joint_argmax_raw": (False, 0, False, 0),
+        "gated_raw": (True, 0, False, 0),
+        "gated_com": (True, 0, True, 0),
+        "gated_com_minpx": (True, 0, True,
+                            getattr(cfg, "inst_min_mask_px", 100)),
+        "gated_dil1_com_minpx": (True, 1, True,
+                                 getattr(cfg, "inst_min_mask_px", 100)),
+        "config_default": (cfg.inst_loss == "linear_assignment_things",
+                           cfg.inst_num_dilations, cfg.inst_outlier_rejection,
+                           getattr(cfg, "inst_min_mask_px", 100)),
+    }
+
+    results = {}
+    for name, (gated, dil, com, minpx) in variants.items():
+        pq = PanopticQuality(set(sem_info["things_ids"]),
+                             set(sem_info["stuff_ids"]))
+        mAP = MeanAveragePrecision()
+        for v in views:
+            inst_map = decode(v, gated)
+            inst_map, masks, _ = clean_instance_map(
+                inst_map, dil, outlier_rejection=com, min_mask_px=minpx)
+            pq.update(np.stack([v["sem_map"], inst_map])[None],
+                      np.stack([v["sem_gts"], v["inst_gts"]])[None])
+            gt_ids = np.unique(v["inst_gts"])
+            gt_masks = (v["inst_gts"][None] == gt_ids[1:][:, None, None])
+            mAP.update(masks.astype(bool), np.ones(masks.shape[0]), gt_masks)
+        row = {}
+        for group, vals in pq.compute().items():
+            for k, val in vals.items():
+                if k != "n":
+                    row[f"{k}_{group}"] = round(float(val), 4)
+        row.update({k: round(float(v), 4) for k, v in mAP.compute().items()})
+        results[name] = row
+        print(f"{name:24s} pq_things={row['pq_things']:.3f} "
+              f"rq_things={row['rq_things']:.3f} sq_things={row['sq_things']:.3f} "
+              f"map={row['map']:.3f} map_50={row['map_50']:.3f}", flush=True)
+
+    out = os.path.join(ns.run_dir, "ablate_decode.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"# wrote {out}", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

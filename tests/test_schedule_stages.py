@@ -98,3 +98,45 @@ def test_schedule_exercises_every_transition():
     # 8. final epochs: voxel marching, all heads, full channel set
     last = stages[cfg.epochs - 1]
     assert last.raymarch_type == "voxel" and last.use_sem and last.use_inst
+
+
+def test_rgb_only_stage_never_touches_panoptic_params():
+    """The schedule-weighted benchmark credits rgb-only epochs (the reference's
+    epochs < sem/inst_epoch_start — 600 of 801) with skipping the delta grid
+    and panoptic heads entirely. Guard that claim: an rgb-only stage's gradient
+    is EXACTLY zero for the delta grid and sem/inst decoders, and nonzero for
+    them once the heads are on."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer = build()
+    rng = np.random.default_rng(0)
+    batch = trainer.dataset.sample_batch(rng, 2, 16)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(0)
+
+    def grads_for(stage):
+        def loss_fn(p):
+            return trainer._compute_losses(p, batch, stage, key, trainer.occ,
+                                           trainer.lod_w)
+        return jax.grad(loss_fn, has_aux=True)(trainer.params)[0]
+
+    def leaf_norms(grads, substr):
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        vals = [float(jnp.abs(v).sum()) for path, v in flat
+                if substr in jax.tree_util.keystr(path)]
+        assert vals, f"no params matching {substr!r}"
+        return vals
+
+    rgb_stage = trainer.stage_for_epoch(0)
+    assert rgb_stage.channels == frozenset({"rgb"})
+    g = grads_for(rgb_stage)
+    for name in ("delta_grid", "decoder_sem", "decoder_inst"):
+        assert all(v == 0.0 for v in leaf_norms(g, name)), name
+    assert any(v > 0.0 for v in leaf_norms(g, "grid"))
+
+    pan_stage = trainer.stage_for_epoch(trainer.cfg.epochs - 1)
+    assert pan_stage.use_sem and pan_stage.use_inst
+    gp = grads_for(pan_stage)
+    for name in ("delta_grid", "decoder_sem", "decoder_inst"):
+        assert any(v > 0.0 for v in leaf_norms(gp, name)), name
