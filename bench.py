@@ -140,6 +140,41 @@ def main():
             stage, channels=frozenset({"rgb"}), use_sem=False, use_inst=False,
             use_inst_segment_reg=False)
 
+    # The HBM envelope is set by the [L, V, 3, N] lattice-index intermediates
+    # (permuto_encoding), which the rgb-only path computes in full — so the
+    # rgb segments get the SAME per-microbatch sample cap as panoptic ones
+    # (3.3M samples rgb-only compile-OOMs by 90 MB; 2.23M fits either way).
+    cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
+    cap_rgb = float(os.environ.get("BENCH_SAMPLE_CAP_RGB", cap))
+
+    def micro_for(stage, sample_cap):
+        steps = stage.compact_steps or stage.num_steps
+        fits = [m for m in range(1, batch_size + 1)
+                if batch_size % m == 0
+                and m * rays_per_img * steps <= sample_cap]
+        if not fits:   # even mb=1 exceeds the cap (e.g. BENCH_RAYS raised):
+            note(f"mb=1 already exceeds the sample cap "
+                 f"({rays_per_img * steps:.0f} > {sample_cap:.0f}) — running "
+                 f"mb=1 anyway")
+            return 1
+        return max(fits)
+
+    def force_occupancy(keep_frac, label):
+        # Re-threshold the measured density field so the top ``keep_frac`` of
+        # cells stay occupied. The choice CANNOT affect step timing (the
+        # compiled step is shape-static; occupancy only selects which samples
+        # are valid) — it selects the compaction budget, which is what the
+        # regimes differ in — and keeps the loss genuinely evolving.
+        from pagnerf_tpu.ops.occupancy import OccupancyGrid
+        dens = np.asarray(trainer.occ.occupancy)
+        thr = float(np.quantile(dens, 1.0 - keep_frac))
+        trainer.occ = OccupancyGrid(occupancy=trainer.occ.occupancy,
+                                    mask=jnp.asarray(dens >= thr),
+                                    level=trainer.occ.level)
+        trainer._occ_frac = frac = float(trainer.occ.mask.mean())
+        note(f"{label}: forced occupancy {100 * frac:.1f}% (thr={thr:.3f})")
+        return frac
+
     start = time.perf_counter()
 
     # ---- phase 1: pre-prune (ray mode, 512 steps, dense occupancy) --------
@@ -151,37 +186,16 @@ def main():
     # A real run seeds from a ~20-epoch field; the bench's 4-step field is
     # unconverged, so (exactly like the top-2% fallback of the 201-prune below)
     # force a REPRESENTATIVE seed occupancy when the real conservative seed
-    # keeps too much. The forced fraction cannot affect step timing (the
-    # compiled step is shape-static; occupancy only selects valid samples) —
-    # it selects the compaction budget, which is what the regime is about.
-    # BENCH_SEED_OCC defaults to 25%, the occupancy the committed convergence
-    # run measured at its first threshold prune (docs/convergence).
+    # keeps too much. BENCH_SEED_OCC defaults to 25%, the occupancy the
+    # committed convergence run measured at its first threshold prune
+    # (docs/convergence).
     seed_occ = float(os.environ.get("BENCH_SEED_OCC", 0.25))
     trainer.prune(seed=True)
     seed_frac = float(trainer.occ.mask.mean())
     note(f"seed prune: {100 * seed_frac:.1f}% cells occupied")
     if seed_frac > seed_occ:
-        from pagnerf_tpu.ops.occupancy import OccupancyGrid
-        dens = np.asarray(trainer.occ.occupancy)
-        thr = float(np.quantile(dens, 1.0 - seed_occ))
-        trainer.occ = OccupancyGrid(occupancy=trainer.occ.occupancy,
-                                    mask=jnp.asarray(dens >= thr),
-                                    level=trainer.occ.level)
-        trainer._occ_frac = seed_frac = float(trainer.occ.mask.mean())
-        note(f"unconverged bench field — forced representative seed occupancy "
-             f"{100 * seed_frac:.1f}%")
-    # The HBM envelope is set by the [L, V, 3, N] lattice-index intermediates
-    # (permuto_encoding), which the rgb-only path computes in full — so the
-    # rgb segments get the SAME per-microbatch sample cap as panoptic ones
-    # (3.3M samples rgb-only compile-OOMs by 90 MB; 2.23M fits either way).
-    cap = float(os.environ.get("BENCH_SAMPLE_CAP", 2.3e6))
-    cap_rgb = float(os.environ.get("BENCH_SAMPLE_CAP_RGB", cap))
-
-    def micro_for(stage, sample_cap):
-        steps = stage.compact_steps or stage.num_steps
-        return max(m for m in range(1, batch_size + 1)
-                   if batch_size % m == 0
-                   and m * rays_per_img * steps <= sample_cap)
+        seed_frac = force_occupancy(seed_occ, "unconverged bench field — "
+                                    "representative seed occupancy")
 
     stage_seed = trainer.stage_for_epoch(0)
     seeded_rays = pre_rays
@@ -195,50 +209,31 @@ def main():
              f"steps={stage_seed.num_steps})")
 
     # ---- real prune (the reference does this at epoch 201) ----------------
-    def hard_prune():
-        # The reference prunes after 201 epochs; a bench-scale field hasn't
-        # crossed the absolute reference density threshold yet, so fall back to
-        # keeping the top-2% densest cells. The threshold choice CANNOT affect
-        # the timed result (the compiled step is shape-static — occupancy only
-        # selects which samples are valid); it only keeps the loss genuinely
-        # evolving through the post-prune phase.
-        from pagnerf_tpu.ops.occupancy import OccupancyGrid
-        trainer.prune()
-        frac = float(trainer.occ.mask.mean())
-        if frac == 0.0:
-            dens = np.asarray(trainer.occ.occupancy)
-            thr = float(np.quantile(dens, 0.98))
-            trainer.occ = OccupancyGrid(
-                occupancy=trainer.occ.occupancy,
-                mask=jnp.asarray(dens >= thr), level=trainer.occ.level)
-            trainer._occ_frac = frac = float(trainer.occ.mask.mean())
-            note(f"prune fell below the reference density threshold everywhere; "
-                 f"kept top-2% densest cells (thr={thr:.3f})")
-        return frac
-
-    occ_frac = hard_prune()
+    # A bench-scale field hasn't crossed the absolute reference density
+    # threshold yet, so fall back to keeping the top-2% densest cells when the
+    # prune empties the grid.
+    trainer.prune()
+    occ_frac = float(trainer.occ.mask.mean())
+    if occ_frac == 0.0:
+        occ_frac = force_occupancy(0.02, "prune fell below the reference "
+                                   "density threshold everywhere")
     note(f"pruned: {100 * occ_frac:.2f}% cells occupied")
 
     # ---- phase 3: post-prune rgb (voxel mode + compaction, epochs 201-601)
     stage_post = trainer.stage_for_epoch(3)
     assert stage_post.raymarch_type == "voxel" and stage_post.compact_steps > 0
     post_rgb_rays = run_phase(rgb_only(stage_post), "post[rgb]", max_iters,
-                              start, micro_post)
+                              start, min(micro_post,
+                                         micro_for(stage_post, cap_rgb)))
 
     # ---- phase 4: post-prune panoptic (epochs 601-800; r1/r2-comparable) --
     post_rays = run_phase(stage_post, "post[panoptic]", max_iters, start,
-                          micro_post)
+                          min(micro_post, micro_for(stage_post, cap)))
 
     # ---- phase 5: panoptic post-prune at the convergence run's ~25% occ ---
     post_conv_rays = None
     if probe_conv_occ and time.perf_counter() - start < budget:
-        from pagnerf_tpu.ops.occupancy import OccupancyGrid
-        dens = np.asarray(trainer.occ.occupancy)
-        thr = float(np.quantile(dens, 0.75))
-        trainer.occ = OccupancyGrid(occupancy=trainer.occ.occupancy,
-                                    mask=jnp.asarray(dens >= thr),
-                                    level=trainer.occ.level)
-        trainer._occ_frac = float(trainer.occ.mask.mean())
+        force_occupancy(0.25, "conv-occupancy probe")
         stage_conv = trainer.stage_for_epoch(3)
         note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
              f"compact budget {stage_conv.compact_steps}")

@@ -76,6 +76,12 @@ def run_trial_subprocess(base_args: List[str], overrides: Dict, epochs: int,
     accelerator, ``platform`` optionally forces a JAX backend (e.g. "cpu" so
     concurrent trials don't contend for the one training chip)."""
     import subprocess
+    # Absolute paths throughout: the worker runs with cwd at the repo root
+    # (imports/configs), which may differ from the parent's cwd — relative
+    # out_dir/checkpoint paths would silently resolve to different places.
+    out_dir = os.path.abspath(out_dir)
+    if resume_from:
+        resume_from = os.path.abspath(resume_from)
     spec_path = os.path.join(out_dir, f"{trial_id}.spec.json")
     result_path = os.path.join(out_dir, f"{trial_id}.result.json")
     with open(spec_path, "w") as f:
@@ -138,6 +144,9 @@ def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
                     m = run_trial_subprocess(base_args, t["config"], cum_epochs,
                                              out_dir, t["id"], t["ckpt"], slot,
                                              worker_platform)
+                except Exception as e:   # one dead trial must not kill the
+                    log.warning("%s failed: %s", t["id"], e)   # sweep (Ray
+                    return t, {"_failed": str(e)}, time.time() - t0  # semantics)
                 finally:
                     slots.put(slot)
             else:
@@ -156,8 +165,9 @@ def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
                 done = list(ex.map(score_one, trials))
         else:
             done = [score_one(t) for t in trials]
+        worst = float("-inf") if mode == "max" else float("inf")
         for t, m, wall in done:
-            score = m.get(metric, 0.0)
+            score = worst if "_failed" in m else m.get(metric, 0.0)
             scored.append((score, t, m))
             results.append({"trial": t["id"], "rung": rung, "config": t["config"],
                             "metric": score, "metrics": m, "wall": wall})
@@ -192,6 +202,10 @@ def main(argv=None):
     ns = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     space = json.loads(ns.space) if ns.space else DEFAULT_SPACE
+    # absolute paths: trial workers run with a different cwd (see
+    # run_trial_subprocess)
+    ns.config = os.path.abspath(ns.config)
+    ns.out_dir = os.path.abspath(ns.out_dir)
     base = ["--config", ns.config, "--log-dir", ns.out_dir, "--valid-every", "-1"]
     return asha_sweep(base, space, ns.out_dir, ns.metric, ns.mode,
                       ns.rung_epochs, ns.num_rungs,

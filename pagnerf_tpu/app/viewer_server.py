@@ -126,7 +126,12 @@ class ViewerState:
         return self.channels_for_view(view).get(channel)
 
     # free-viewpoint camera (reference wisp interactive camera, app.py:276-309):
-    # orbit poses keyed by (az, el, radius) rounded to viewer step granularity
+    # orbit poses keyed by (az, el, radius) rounded to viewer step granularity.
+    # The per-pose entries hold full channel maps (incl. the float32 [H, W, E]
+    # embedding), so an idle orbiting session would grow without bound unless
+    # the free-pose cache is LRU-bounded — training clears everything anyway.
+    MAX_FREE_POSES = 16
+
     def free_frame(self, az: float, el: float, radius: float,
                    channel: str) -> Optional[np.ndarray]:
         key = ("free", round(az, 1), round(el, 1), round(radius, 2))
@@ -137,6 +142,11 @@ class ViewerState:
                 if frames is None:
                     c2w = pose_from_orbit(az, el, radius)
                     frames = render_channels_for_pose(self.trainer, c2w)
+                    free_keys = [k for k in self._cache
+                                 if isinstance(k, tuple) and k[0] == "free"]
+                    for old in free_keys[:max(0, len(free_keys) + 1
+                                              - self.MAX_FREE_POSES)]:
+                        self._cache.pop(old, None)   # dicts iterate in insertion order
                     self._cache[key] = frames
         return frames.get(channel)
 

@@ -504,8 +504,13 @@ class PanopticTrainer:
             keep = float(getattr(self.cfg, "seed_keep_frac", 0.2))
             if frac < keep:
                 # unconverged field below the reference density threshold:
-                # keep the top-keep_frac densest cells (+ dilation) instead
+                # keep the top-keep_frac densest cells (+ dilation) instead.
+                # The mask uses a strict > comparison, so step the quantile
+                # down one ulp: a tie-heavy/plateau field (e.g. bf16 underflow)
+                # would otherwise exclude every tied cell and the "floor"
+                # could keep ~0% — the scene-wipe this path exists to prevent.
                 thr = float(np.quantile(np.asarray(new_occ.occupancy), 1.0 - keep))
+                thr = float(np.nextafter(thr, -np.inf))
                 new_occ = new_occ.update_from_density(
                     new_occ.occupancy, decay=1.0, min_density=thr, dilate=dilate)
         self.occ = new_occ

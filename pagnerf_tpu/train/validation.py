@@ -20,7 +20,7 @@ import numpy as np
 from ..core.rays import Rays
 from ..utils.clustering import MeanShift
 from ..utils.metrics import IoU, MeanAveragePrecision, PSNR, PanopticQuality
-from ..utils.postprocess import clean_instance_map
+from ..utils.postprocess import clean_instance_map, decode_instance_map
 from ..utils.visualization import (depth2rgb, label2rgb, label_colormap,
                                    write_png, write_video)
 
@@ -141,21 +141,13 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
             if clustering is not None:
                 en = e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
                 inst_map = clustering.predict_clusters(en).reshape(h, w)
-            elif trainer.cfg.inst_loss == "linear_assignment_things":
-                # Semantic-gated decode. The things loss trains slot 0 to mean
-                # "semantic stuff" BY CONSTRUCTION (virtual label 0 exactly on
-                # stuff pixels, losses/lin_assignment.py:142), so the stronger
-                # semantic head decides stuff-vs-things and the instance head
-                # only picks WHICH thing (slots 1..M-1). A plain joint argmax
-                # lets the stuff slot swallow things pixels wherever rendering
-                # is soft (novel-view blur) — diagnosed round 3 on the schedule
-                # checkpoint; gating recovers +0.07 PQ-things / +0.09 RQ-things.
-                things_px = ~np.isin(sem_map, np.asarray(sem_info["stuff_ids"]))
-                inst_map = np.where(things_px,
-                                    1 + np.argmax(e[:, 1:], -1).reshape(h, w), 0)
+                inst_conf = np.max(e, -1).reshape(h, w)
             else:
-                inst_map = np.argmax(e, -1).reshape(h, w)
-            inst_conf = np.max(e, -1).reshape(h, w)
+                # semantic-gated decode for things-loss heads; see
+                # utils/postprocess.decode_instance_map for the contract
+                inst_map, inst_conf = decode_instance_map(
+                    e, sem_map, sem_info["stuff_ids"],
+                    gated=trainer.cfg.inst_loss == "linear_assignment_things")
             inst_map, masks, _ = clean_instance_map(
                 inst_map, cfg.inst_num_dilations,
                 outlier_rejection=cfg.inst_outlier_rejection,

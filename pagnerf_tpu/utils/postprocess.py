@@ -52,6 +52,37 @@ def center_of_mass_outlier_rejection(masks: np.ndarray,
     return masks
 
 
+def decode_instance_map(e: np.ndarray, sem_map: np.ndarray,
+                        stuff_ids, gated: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Instance id map (+ per-pixel confidence) from rendered slot activations.
+
+    ``gated``: the semantic-gated decode for linear_assignment_things-trained
+    heads. That loss trains slot 0 to mean "semantic stuff" BY CONSTRUCTION
+    (virtual label 0 exactly on stuff pixels, losses/lin_assignment.py), so the
+    stronger semantic head decides stuff-vs-things and the instance head only
+    picks WHICH thing (slots 1..M-1). A plain joint argmax lets the stuff slot
+    swallow things pixels wherever rendering is soft (novel-view blur) —
+    diagnosed round 3 on the schedule checkpoint; gating recovers +0.07
+    PQ-things / +0.09 RQ-things. The confidence is the activation of the slot
+    the decode actually CHOSE (not the joint max, which can belong to the
+    gated-out stuff slot).
+
+    e [N, M] slot activations; sem_map [H, W]. Returns (inst_map [H, W],
+    inst_conf [H, W])."""
+    h, w = sem_map.shape
+    if gated:
+        things_px = ~np.isin(sem_map, np.asarray(stuff_ids))
+        inst_map = np.where(things_px,
+                            1 + np.argmax(e[:, 1:], -1).reshape(h, w), 0)
+        inst_conf = np.where(things_px,
+                             np.max(e[:, 1:], -1).reshape(h, w),
+                             e[:, 0].reshape(h, w))
+    else:
+        inst_map = np.argmax(e, -1).reshape(h, w)
+        inst_conf = np.max(e, -1).reshape(h, w)
+    return inst_map, inst_conf
+
+
 def clean_instance_map(instances: np.ndarray, num_dilations: int = 1,
                        outlier_rejection: bool = True,
                        min_mask_px: int = 100) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -40,7 +40,8 @@ def main(argv=None):
     from pagnerf_tpu.train import checkpoint
     from pagnerf_tpu.train.validation import _rays_from
     from pagnerf_tpu.utils.metrics import MeanAveragePrecision, PanopticQuality
-    from pagnerf_tpu.utils.postprocess import clean_instance_map
+    from pagnerf_tpu.utils.postprocess import (clean_instance_map,
+                                               decode_instance_map)
 
     cfg_path = os.path.join(ns.run_dir, "config.yaml")
     ckpt_path = ns.ckpt or os.path.join(ns.run_dir, "model.ckpt")
@@ -74,13 +75,8 @@ def main(argv=None):
     print(f"# {len(views)} labeled {ns.split} views rendered", flush=True)
 
     def decode(v, gated: bool):
-        if gated:
-            # slot 0 is trained to mean "stuff" (lin_assignment things
-            # construction); the semantic head decides stuff-vs-things
-            things_px = ~np.isin(v["sem_map"], stuff_ids)
-            return np.where(things_px,
-                            1 + np.argmax(v["e"][:, 1:], -1).reshape(h, w), 0)
-        return np.argmax(v["e"], -1).reshape(h, w)
+        # the production decode (shared with train/validation.py)
+        return decode_instance_map(v["e"], v["sem_map"], stuff_ids, gated)[0]
 
     variants = {
         # name: (gated, num_dilations, outlier_rejection, min_mask_px)
