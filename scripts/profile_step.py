@@ -93,7 +93,10 @@ def main():
                  "dual encode FWD+BWD")
 
     # ---- 3. MXU dual scatter alone, event stream derived from prior output -
-    from pagnerf_tpu.ops.pallas_scatter import table_grad_matmul_dual
+    # (the lane-major _T kernel — the deployed full-R path since round 3;
+    # the [M, 1]-operand variant measures ~2x slower at this scale from the
+    # 128x padded HBM traffic alone)
+    from pagnerf_tpu.ops.pallas_scatter import table_grad_matmul_dual_T
 
     @jax.jit
     def scatter_step(state):
@@ -103,7 +106,8 @@ def main():
 
         def body(_, lvl):
             i_l, b_l, ga_l, gb_l = lvl
-            return None, table_grad_matmul_dual(i_l, b_l, ga_l, gb_l, cap, f)
+            return None, table_grad_matmul_dual_T(i_l, b_l, ga_l, gb_l, cap, f,
+                                                  rows_used=0)
 
         _, (da, db) = jax.lax.scan(body, None, (idx, bary, g_a, g_b))
         # fold the scatter result back into next iteration's values and indices
