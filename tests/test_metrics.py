@@ -109,3 +109,32 @@ def test_clean_instance_map_scale_aware_min_px():
     cleaned10, masks10, _ = clean_instance_map(inst, 0, outlier_rejection=False,
                                                min_mask_px=10)
     np.testing.assert_array_equal(cleaned10, inst)  # scale-aware keeps both
+
+
+def test_decode_instance_map_gated_vs_joint():
+    """The semantic-gated decode (utils/postprocess.decode_instance_map): the
+    semantic head decides stuff-vs-things; the instance head only picks WHICH
+    thing (slots 1..M-1). The confidence map must report the activation of the
+    slot the decode chose — not the joint max, which can belong to the
+    gated-out stuff slot."""
+    import numpy as np
+
+    from pagnerf_tpu.utils.postprocess import decode_instance_map
+
+    # 2x2 image, 3 slots. Pixel (0,0): stuff slot dominates (0.6) but the
+    # semantic head says "things" -> gated decode must pick slot 2 (0.3).
+    e = np.array([[0.6, 0.1, 0.3],    # things px, stuff slot spuriously high
+                  [0.1, 0.8, 0.1],    # things px, slot 1
+                  [0.9, 0.05, 0.05],  # stuff px
+                  [0.2, 0.1, 0.7]])   # things px, slot 2
+    sem_map = np.array([[1, 1], [0, 2]])   # 0 = stuff
+    stuff_ids = [0]
+
+    inst, conf = decode_instance_map(e, sem_map, stuff_ids, gated=True)
+    np.testing.assert_array_equal(inst, [[2, 1], [0, 2]])
+    # confidence of the CHOSEN slot: 0.3 (not the joint max 0.6)
+    np.testing.assert_allclose(conf, [[0.3, 0.8], [0.9, 0.7]])
+
+    inst_j, conf_j = decode_instance_map(e, sem_map, stuff_ids, gated=False)
+    np.testing.assert_array_equal(inst_j, [[0, 1], [0, 2]])
+    np.testing.assert_allclose(conf_j, [[0.6, 0.8], [0.9, 0.7]])
