@@ -107,17 +107,27 @@ def main():
     note(f"setup done: {batch_size}x{rays_per_img} rays")
 
     def timed_steps(stage, label, iters, start):
+        # Throughput from the MEDIAN step time: the axon service exhibits rare
+        # multi-minute device stalls mid-run (PERFORMANCE.md round-3 caveat —
+        # one observed 6.3 s step took 399 s), and a single stall in a mean
+        # would misreport the regime 10x. Every step still prints its
+        # cumulative time + evolving rgb_loss, so outliers stay visible.
         t0 = time.perf_counter()
-        done = 0
-        while done < iters:
+        durs = []
+        while len(durs) < iters:
             losses = trainer.train_step(stage, batch)
             jax.block_until_ready(trainer.params)
-            done += 1
-            note(f"{label} step {done}: cumulative {time.perf_counter() - t0:.1f}s "
+            durs.append(time.perf_counter() - t0 - sum(durs))
+            note(f"{label} step {len(durs)}: cumulative "
+                 f"{time.perf_counter() - t0:.1f}s "
                  f"rgb_loss {float(losses.get('rgb_loss', 0.0)):.5f}")
-            if time.perf_counter() - start > budget and done >= 1:
+            if time.perf_counter() - start > budget and durs:
                 break
-        return batch_size * rays_per_img * done / (time.perf_counter() - t0)
+        med = float(np.median(durs))
+        if max(durs) > 3 * med:
+            note(f"{label}: dropped {sum(d > 3 * med for d in durs)} stall "
+                 f"outlier step(s) (max {max(durs):.1f}s vs median {med:.1f}s)")
+        return batch_size * rays_per_img / med
 
     def run_phase(stage, label, iters, start, micro):
         trainer.cfg = dataclasses.replace(trainer.cfg, micro_batch_imgs=micro)
