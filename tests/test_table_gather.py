@@ -93,3 +93,53 @@ def test_dual_multilevel_matches_separate_gathers():
     for a, b, name in zip(gf, gs, ("dtables_a", "dtables_b", "dbary")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=name)
+
+
+def test_mxu_scan_path_matches_xla_in_interpret_mode(monkeypatch):
+    """The DEPLOYED TPU backward (MXU scatter branch of _ml_bwd/_dual_bwd:
+    lax.scan over lane-major _T kernels) run on CPU via pallas interpret mode
+    must produce the same table/bary gradients as the XLA fallback. Guards the
+    scan+kernel composition, not just the standalone kernels."""
+    import functools
+
+    from pagnerf_tpu.ops import pallas_scatter, table_gather
+    from pagnerf_tpu.ops.table_gather import dual_multilevel_table_gather
+
+    monkeypatch.setattr(table_gather, "_use_mxu_scatter", lambda c, f: True)
+    monkeypatch.setattr(
+        table_gather, "_split_levels", lambda rows_used, rows_full: 0)
+    for name in ("table_grad_matmul_T", "table_grad_matmul_dual_T"):
+        fn = getattr(pallas_scatter, name)
+        monkeypatch.setattr(pallas_scatter, name,
+                            functools.partial(fn, interpret=True))
+
+    key = jax.random.PRNGKey(7)
+    ka, kb, ki, kw, kc = jax.random.split(key, 5)
+    l, c, f, v, n = 2, 256, 2, 4, 37
+    ta = jax.random.normal(ka, (l, c, f))
+    tb = jax.random.normal(kb, (l, c, f))
+    idx = jax.random.randint(ki, (l, v, n), 0, c)
+    idx = idx.at[:, 2].set(idx[:, 0])   # duplicates must accumulate
+    bary = jax.random.uniform(kw, (l, v, n))
+    ct = jax.random.normal(kc, (l, f, n))
+
+    def loss_single(t, b):
+        return jnp.sum(multilevel_table_gather(t, idx, b) * ct)
+
+    def loss_dual(t1, t2, b):
+        oa, ob = dual_multilevel_table_gather(t1, t2, idx, b)
+        return jnp.sum(oa * ct) + jnp.sum(ob * ct * 0.5)
+
+    g_mxu = jax.grad(loss_single, argnums=(0, 1))(ta, bary)
+    gd_mxu = jax.grad(loss_dual, argnums=(0, 1, 2))(ta, tb, bary)
+
+    monkeypatch.setattr(table_gather, "_use_mxu_scatter", lambda c, f: False)
+    g_xla = jax.grad(loss_single, argnums=(0, 1))(ta, bary)
+    gd_xla = jax.grad(loss_dual, argnums=(0, 1, 2))(ta, tb, bary)
+
+    for a, b, name in zip(g_mxu, g_xla, ("dtables", "dbary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2,
+                                   err_msg=f"single {name}")
+    for a, b, name in zip(gd_mxu, gd_xla, ("dta", "dtb", "dbary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2,
+                                   err_msg=f"dual {name}")
