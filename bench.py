@@ -123,11 +123,16 @@ def main():
                  f"rgb_loss {float(losses.get('rgb_loss', 0.0)):.5f}")
             if time.perf_counter() - start > budget and durs:
                 break
-        med = float(np.median(durs))
-        if max(durs) > 3 * med:
-            note(f"{label}: dropped {sum(d > 3 * med for d in durs)} stall "
-                 f"outlier step(s) (max {max(durs):.1f}s vs median {med:.1f}s)")
-        return batch_size * rays_per_img / med
+        # stall filter anchored to the FASTEST step (legit steps cluster within
+        # ~1.2x of it under the evolving-loss discipline; a stall is 10-60x):
+        # a 3x-median anchor fails when a stall dominates few steps (two steps
+        # [6.3s, 399s] -> median 203s)
+        lo = min(durs)
+        keep = [d for d in durs if d <= 3 * lo]
+        if len(keep) < len(durs):
+            note(f"{label}: dropped {len(durs) - len(keep)} stall outlier "
+                 f"step(s) (max {max(durs):.1f}s vs fastest {lo:.1f}s)")
+        return batch_size * rays_per_img / float(np.median(keep))
 
     def run_phase(stage, label, iters, start, micro):
         trainer.cfg = dataclasses.replace(trainer.cfg, micro_batch_imgs=micro)
@@ -248,7 +253,7 @@ def main():
         note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
              f"compact budget {stage_conv.compact_steps}")
         post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
-                                   micro_for(stage_conv, cap))
+                                   min(micro_post, micro_for(stage_conv, cap)))
 
     # ---- schedule-weighted throughput (801 reference epochs) --------------
     seg = [(SEED_EPOCH, pre_rays), (PRUNE_EPOCH - SEED_EPOCH, seeded_rays),

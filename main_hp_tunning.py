@@ -137,21 +137,25 @@ def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
         cum_epochs = rung_epochs * (rung + 1)
 
         def score_one(t):
+            # one dead trial must not kill the sweep (Ray marks the trial
+            # failed and continues) — contain BOTH execution paths
             t0 = time.time()
-            if num_workers > 1:
-                slot = slots.get()   # distinct accelerator per live worker
-                try:
-                    m = run_trial_subprocess(base_args, t["config"], cum_epochs,
-                                             out_dir, t["id"], t["ckpt"], slot,
-                                             worker_platform)
-                except Exception as e:   # one dead trial must not kill the
-                    log.warning("%s failed: %s", t["id"], e)   # sweep (Ray
-                    return t, {"_failed": str(e)}, time.time() - t0  # semantics)
-                finally:
-                    slots.put(slot)
-            else:
-                m = run_trial(base_args, t["config"], cum_epochs, out_dir,
-                              t["id"], resume_from=t["ckpt"])
+            try:
+                if num_workers > 1:
+                    slot = slots.get()   # distinct accelerator per live worker
+                    try:
+                        m = run_trial_subprocess(base_args, t["config"],
+                                                 cum_epochs, out_dir, t["id"],
+                                                 t["ckpt"], slot,
+                                                 worker_platform)
+                    finally:
+                        slots.put(slot)
+                else:
+                    m = run_trial(base_args, t["config"], cum_epochs, out_dir,
+                                  t["id"], resume_from=t["ckpt"])
+            except Exception as e:
+                log.warning("%s failed: %s", t["id"], e)
+                return t, {"_failed": str(e)}, time.time() - t0
             t["ckpt"] = m.pop("_ckpt")
             return t, m, time.time() - t0
 
@@ -167,10 +171,14 @@ def asha_sweep(base_args: List[str], space: Dict[str, List], out_dir: str,
             done = [score_one(t) for t in trials]
         worst = float("-inf") if mode == "max" else float("inf")
         for t, m, wall in done:
-            score = worst if "_failed" in m else m.get(metric, 0.0)
+            failed = "_failed" in m
+            score = worst if failed else m.get(metric, 0.0)
             scored.append((score, t, m))
+            # serialized metric: None for failures (json.dump would emit the
+            # non-standard -Infinity token otherwise)
             results.append({"trial": t["id"], "rung": rung, "config": t["config"],
-                            "metric": score, "metrics": m, "wall": wall})
+                            "metric": None if failed else score, "metrics": m,
+                            "wall": wall})
             log.info("%s rung %d: %s=%.4f (%.1fs)", t["id"], rung, metric,
                      score, wall)
         scored.sort(key=lambda x: x[0], reverse=(mode == "max"))

@@ -136,7 +136,11 @@ class ViewerState:
                    channel: str) -> Optional[np.ndarray]:
         key = ("free", round(az, 1), round(el, 1), round(radius, 2))
         frames = self._cache.get(key)
-        if frames is None:
+        if frames is not None:
+            with self.lock:   # LRU: refresh recency so the pose being viewed
+                if key in self._cache:   # survives an orbit sweep's evictions
+                    self._cache[key] = self._cache.pop(key)
+        else:
             with self.lock:
                 frames = self._cache.get(key)
                 if frames is None:
