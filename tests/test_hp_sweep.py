@@ -43,3 +43,30 @@ def test_concurrent_trials_match_serial_protocol(tmp_path):
     for r in results:
         assert "val/psnr" in r["metrics"]
         assert os.path.exists(os.path.join(str(tmp_path), f"{r['trial']}.ckpt"))
+
+
+def test_failed_trial_does_not_kill_sweep(tmp_path, monkeypatch):
+    """One raising trial must score worst and be serialized as metric=null,
+    while the rest of the rung completes (Ray semantics)."""
+    import main_hp_tunning as hp
+
+    real = hp.run_trial
+
+    def flaky(base_args, overrides, epochs, out_dir, trial_id, resume_from=None):
+        if overrides["lr"] == 1e-3:
+            raise RuntimeError("simulated device disconnect")
+        return real(base_args, overrides, epochs, out_dir, trial_id,
+                    resume_from=resume_from)
+
+    monkeypatch.setattr(hp, "run_trial", flaky)
+    base = ["--config", "configs/synthetic/tiny.yaml",
+            "--log-dir", str(tmp_path), "--valid-every", "-1",
+            "--epochs", "1"]
+    results = hp.asha_sweep(base, {"lr": [5e-3, 1e-3]}, str(tmp_path),
+                            rung_epochs=1, num_rungs=1)
+    assert len(results) == 2
+    by_ok = {r["metric"] is None: r for r in results}
+    assert by_ok[True]["metrics"].get("_failed")          # failed trial marked
+    assert by_ok[False]["metrics"]["val/psnr"] > 0        # healthy one scored
+    with open(os.path.join(str(tmp_path), "sweep_results.json")) as f:
+        json.load(f)                                      # strictly valid JSON
