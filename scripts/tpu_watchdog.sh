@@ -1,0 +1,34 @@
+#!/bin/bash
+# Auto-resume watchdog for long TPU trainings on the flaky axon service.
+#
+# The axon tunnel stalls for minutes and sometimes kills the per-process
+# connection while fresh processes still reach the chip (PERFORMANCE.md,
+# CLAUDE.md rule 11). This loop probes the device with a hard-timeout
+# (SIGKILL fallback -- a hung probe ignores SIGTERM) and (re)launches the
+# training, resuming from the newest checkpoint each time, until a run
+# exits cleanly (rc=0).
+#
+# Usage: scripts/tpu_watchdog.sh <log_dir> <exp_name> <done_marker> [extra args...]
+set -u
+LOG_DIR="$1"; EXP="$2"; DONE="$3"; shift 3
+CKPT_ROOT="$LOG_DIR/$EXP"
+LOG="${WATCHDOG_LOG:-/tmp/watchdog_$EXP.log}"
+cd "$(dirname "$0")/.."
+
+echo "$(date '+%F %T') watchdog start: $* (ckpt root $CKPT_ROOT)" >> "$LOG"
+while true; do
+  if [ -f "$DONE" ]; then echo "$(date '+%F %T') done marker present, exiting" >> "$LOG"; break; fi
+  if timeout -k 10 45 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
+    CKPT=$(ls -t "$CKPT_ROOT"/*/model.ckpt 2>/dev/null | head -1)
+    echo "$(date '+%F %T') device up; launching (resume: ${CKPT:-none})" >> "$LOG"
+    timeout -k 30 14400 python main.py --log-dir "$LOG_DIR" "$@" \
+      ${CKPT:+--pretrained "$CKPT"} >> "$LOG" 2>&1
+    rc=$?
+    echo "$(date '+%F %T') run exited rc=$rc" >> "$LOG"
+    if [ "$rc" -eq 0 ]; then echo ok > "$DONE"; break; fi
+    sleep 30
+  else
+    echo "$(date '+%F %T') device down" >> "$LOG"
+    sleep 90
+  fi
+done

@@ -143,3 +143,23 @@ def test_mxu_scan_path_matches_xla_in_interpret_mode(monkeypatch):
     for a, b, name in zip(gd_mxu, gd_xla, ("dta", "dtb", "dbary")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2,
                                    err_msg=f"dual {name}")
+
+
+def test_dual_interleaved_gather_exact():
+    """The interleaved dual gather (one row-gather fetches both tables' features,
+    table_gather._gather_feats_dual) is bit-identical to two separate gathers —
+    across shapes and in bf16."""
+    from pagnerf_tpu.ops.table_gather import _gather_feats, _gather_feats_dual
+    key = jax.random.PRNGKey(3)
+    ka, kb, ki = jax.random.split(key, 3)
+    for c, f, dtype in ((256, 2, jnp.float32),
+                        (256, 2, jnp.bfloat16),
+                        (512, 4, jnp.float32)):
+        ta = jax.random.normal(ka, (c, f)).astype(dtype)
+        tb = jax.random.normal(kb, (c, f)).astype(dtype)
+        idx = jax.random.randint(ki, (4, 51), 0, c)
+        fa, fb = _gather_feats_dual(ta, tb, idx)
+        np.testing.assert_array_equal(np.asarray(fa),
+                                      np.asarray(_gather_feats(ta, idx)))
+        np.testing.assert_array_equal(np.asarray(fb),
+                                      np.asarray(_gather_feats(tb, idx)))
