@@ -14,6 +14,8 @@ network — fully vectorised, no data-dependent control flow (jit/XLA friendly).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +103,111 @@ def direct_level_specs(scales, capacity: int, feature_dim: int):
             np.asarray(mask), tuple(rows))
 
 
+def _rank_and_el(scaledT: jnp.ndarray) -> tuple:
+    """One level's (el, gr, rank) from scale-divided coords [3, N]: elevation
+    onto the sum-zero hyperplane, nearest remainder-0 point (wrap-adjusted),
+    and per-coordinate differential rank. Shared by the simplex forward and
+    the zero-residual lattice backward (which recomputes rather than saves)."""
+    el = jnp.asarray(_E, scaledT.dtype) @ scaledT                # [4, N]
+
+    # Closest remainder-0 lattice point by rounding to multiples of (d+1).
+    gr = jnp.round(el / _VERTS) * _VERTS                         # [4, N]
+    sum_val = jnp.sum(gr, axis=0) / _VERTS                       # [N] integer-valued
+
+    # Rank of each coordinate's differential (descending), ties broken by index.
+    diff = el - gr                                               # [4, N]
+    di = diff[:, None, :]                                        # coordinate i
+    dj = diff[None, :, :]                                        # coordinate j
+    idx4 = jnp.arange(_VERTS)
+    tie = (dj == di) & (idx4[None, :, None] < idx4[:, None, None])
+    rank = jnp.sum((dj > di) | tie, axis=1).astype(jnp.int32)    # [4, N]
+    rank = rank + sum_val.astype(jnp.int32)[None, :]
+
+    # Wrap out-of-range ranks, adjusting the rounded point accordingly.
+    under = rank < 0
+    over = rank > _D
+    rank = rank + _VERTS * under.astype(jnp.int32) - _VERTS * over.astype(jnp.int32)
+    gr = gr + _VERTS * under.astype(gr.dtype) - _VERTS * over.astype(gr.dtype)
+    return el, gr, rank
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lattice_levels(statics, x):
+    """idx [L, V, N] int32 + bary [L, V, N] for all levels of coords x [3, N].
+
+    ``statics`` is the hashable per-level spec tuple
+    (log2_c, inv_scales, mm, dm, direct) — all derived from the static scale
+    schedule, so they ride nondiff_argnums and the VJP deals only in x.
+
+    Two memory design points (this op is the measured HBM envelope of every
+    training regime, PERFORMANCE.md round 3):
+
+      * The per-level math runs as a SCAN over levels, not a vmap: vmapping
+        materialises the [L, V, 3, N] int32 key intermediate for all levels
+        at once — 2.5 GB at flagship scale (L=24, N=2.23M). The scan keeps
+        one level's keys alive at a time (~107 MB) with identical outputs.
+      * The backward saves NO lattice residuals. Autodiff through the rank /
+        tie-break masks would stack [L, 5, V, N]-scale multiply partners
+        (~4 GB); instead the VJP recomputes each level's rank from x (cheap
+        VPU work) and turns dbary into dx directly:
+        bary5[b] = sum_v (plus-minus)[b, v] * delta[v], delta = (el-gr)/4,
+        el = E @ (x*inv_s)  =>  dx += inv_s * E^T @ ddelta / 4.
+        This is manual rematerialisation WITHOUT jax.checkpoint — a remat'd
+        scan body trips the known 10-20+ min compile pathology on the axon
+        toolchain (CLAUDE.md rule 4); a plain second scan does not.
+    """
+    log2_c, inv_scales, mm, dm, direct = _statics_arrays(statics)
+
+    def body(_, xs):
+        inv_s, mm_l, dm_l, direct_l = xs
+        keys, bary = simplex_vertices_and_weights_T(x * inv_s)
+        return None, (_index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary)
+    _, (idx, bary) = jax.lax.scan(body, None, (inv_scales, mm, dm, direct))
+    return idx, bary
+
+
+def _statics_arrays(statics):
+    log2_c, inv_scales, mm, dm, direct = statics
+    return (log2_c, jnp.asarray(inv_scales, jnp.float32),
+            jnp.asarray(mm, jnp.int32), jnp.asarray(dm, jnp.int32),
+            jnp.asarray(direct))
+
+
+def _lattice_levels_fwd(statics, x):
+    return _lattice_levels(statics, x), x
+
+
+def _lattice_levels_bwd(statics, x, g):
+    _, inv_scales, _, _, _ = _statics_arrays(statics)
+    _, dbary = g                                   # didx is float0 (int output)
+    b5 = jnp.arange(_VERTS + 1, dtype=jnp.int32)[:, None, None]   # [5, 1, 1]
+
+    def body(dx, xs):
+        inv_s, dbary_l = xs                        # dbary_l [V, N]
+        _, _, rank = _rank_and_el(x * inv_s)
+        pm = (((_D - rank)[None] == b5).astype(dbary_l.dtype)
+              - ((_D + 1 - rank)[None] == b5).astype(dbary_l.dtype))  # [5, 4, N]
+        # bary = bary5[:V] with bary5[0] folded += bary5[V]: transpose the fold.
+        db5 = jnp.concatenate([dbary_l, dbary_l[:1]], axis=0)         # [5, N]
+        ddelta = jnp.einsum("bvn,bn->vn", pm, db5) / _VERTS           # [4, N]
+        dx_l = (jnp.asarray(_E, x.dtype).T @ ddelta) * inv_s          # [3, N]
+        return dx + dx_l, None
+
+    dx, _ = jax.lax.scan(body, jnp.zeros_like(x), (inv_scales, dbary))
+    return (dx,)
+
+
+_lattice_levels.defvjp(_lattice_levels_fwd, _lattice_levels_bwd)
+
+
+def _lattice_all_levels(log2_c, x, inv_scales, mm, dm, direct):
+    statics = (int(log2_c), tuple(float(s) for s in np.asarray(inv_scales)),
+               tuple(int(v) for v in np.asarray(mm)),
+               tuple(int(v) for v in np.asarray(dm)),
+               tuple(bool(v) for v in np.asarray(direct)))
+    return _lattice_levels(statics, x)
+
+
 def _index_keys_T(keys: jnp.ndarray, log2_capacity: int,
                   mm, dm, direct) -> jnp.ndarray:
     """Branchless per-level direct-or-hash indexing. keys [V, 3, N] int32;
@@ -129,26 +236,7 @@ def simplex_vertices_and_weights_T(scaledT: jnp.ndarray):
             (first 3 of 4 coords; the 4th is implied by the sum-zero constraint).
       bary: [4, N] barycentric weights (>= 0, sum to 1).
     """
-    el = jnp.asarray(_E, scaledT.dtype) @ scaledT                # [4, N]
-
-    # Closest remainder-0 lattice point by rounding to multiples of (d+1).
-    gr = jnp.round(el / _VERTS) * _VERTS                         # [4, N]
-    sum_val = jnp.sum(gr, axis=0) / _VERTS                       # [N] integer-valued
-
-    # Rank of each coordinate's differential (descending), ties broken by index.
-    diff = el - gr                                               # [4, N]
-    di = diff[:, None, :]                                        # coordinate i
-    dj = diff[None, :, :]                                        # coordinate j
-    idx = jnp.arange(_VERTS)
-    tie = (dj == di) & (idx[None, :, None] < idx[:, None, None])
-    rank = jnp.sum((dj > di) | tie, axis=1).astype(jnp.int32)    # [4, N]
-    rank = rank + sum_val.astype(jnp.int32)[None, :]
-
-    # Wrap out-of-range ranks, adjusting the rounded point accordingly.
-    under = rank < 0
-    over = rank > _D
-    rank = rank + _VERTS * under.astype(jnp.int32) - _VERTS * over.astype(jnp.int32)
-    gr = gr + _VERTS * under.astype(gr.dtype) - _VERTS * over.astype(gr.dtype)
+    el, gr, rank = _rank_and_el(scaledT)
 
     # Barycentric coordinates from the sorted differentials: bary_b = sum_i delta_i *
     # ([d - rank_i == b] - [d + 1 - rank_i == b]), then fold the (d+1)th bin into 0.
@@ -194,7 +282,7 @@ def permuto_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
     num_levels, capacity, feat_dim = tables.shape
     log2_c = int(np.log2(capacity))
     assert (1 << log2_c) == capacity, "capacity must be a power of two"
-    inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
+    inv_scales = (1.0 / np.asarray(scales)).astype(np.float32)
     mm, dm, direct, rows_used = direct_level_specs(scales, capacity, feat_dim)
 
     x = coordsT.astype(jnp.float32)                              # [3, N]
@@ -202,14 +290,10 @@ def permuto_encode_T(tables: jnp.ndarray, coordsT: jnp.ndarray,
 
     from .table_gather import multilevel_table_gather
 
-    def level_index(inv_s, mm_l, dm_l, direct_l):
-        keys, bary = simplex_vertices_and_weights_T(x * inv_s)   # [4,3,N], [4,N]
-        return _index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary
-
-    # Per-level lattice math is cheap VPU work ([V, N] tensors, sample-minor);
+    # Per-level lattice math is cheap VPU work ([V, N] tensors, sample-minor),
+    # scanned over levels with a recompute-in-backward VJP (_lattice_levels);
     # the gathers for all levels run as ONE fused op (Pallas kernel on TPU).
-    idx, bary = jax.vmap(level_index)(inv_scales, jnp.asarray(mm),
-                                      jnp.asarray(dm), jnp.asarray(direct))
+    idx, bary = _lattice_all_levels(log2_c, x, inv_scales, mm, dm, direct)
     per_level = multilevel_table_gather(tables.astype(compute_dtype), idx,
                                         bary.astype(compute_dtype),
                                         rows_used=rows_used)     # [L, F, N]
@@ -241,19 +325,14 @@ def permuto_encode_dual_T(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     num_levels, capacity, feat_dim = tables_a.shape
     assert tables_b.shape == tables_a.shape, "dual encode needs same-spec tables"
     log2_c = int(np.log2(capacity))
-    inv_scales = jnp.asarray(1.0 / np.asarray(scales), jnp.float32)
+    inv_scales = (1.0 / np.asarray(scales)).astype(np.float32)
     mm, dm, direct, rows_used = direct_level_specs(scales, capacity, feat_dim)
     x = coordsT.astype(jnp.float32)
     n = x.shape[1]
 
     from .table_gather import dual_multilevel_table_gather
 
-    def level_index(inv_s, mm_l, dm_l, direct_l):
-        keys, bary = simplex_vertices_and_weights_T(x * inv_s)
-        return _index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary
-
-    idx, bary = jax.vmap(level_index)(inv_scales, jnp.asarray(mm),
-                                      jnp.asarray(dm), jnp.asarray(direct))
+    idx, bary = _lattice_all_levels(log2_c, x, inv_scales, mm, dm, direct)
     out_a, out_b = dual_multilevel_table_gather(
         tables_a.astype(compute_dtype), tables_b.astype(compute_dtype),
         idx, bary.astype(compute_dtype), rows_used=rows_used)

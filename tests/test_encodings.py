@@ -218,3 +218,43 @@ def test_permuto_encode_grad_consistent_with_autodiff_reference():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_permuto_coord_gradients_match_autodiff():
+    """The zero-residual lattice VJP (permuto_encoding._lattice_levels
+    recomputes rank in the backward instead of saving residuals) must produce
+    the SAME coordinate gradients as plain autodiff through the lattice math —
+    pose optimisation (BAPipeline) differentiates the encode w.r.t. coords."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pagnerf_tpu.ops.permuto_encoding import PermutoEncodingSpec
+    from pagnerf_tpu.ops import permuto_encoding as pe
+    spec = PermutoEncodingSpec(num_levels=6, feature_dim=2, capacity_log2=12,
+                               coarsest_scale=1.0, finest_scale=0.02)
+    tables = spec.init(jax.random.PRNGKey(0), init_std=0.5)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (3, 193),
+                             minval=-0.9, maxval=0.9)
+    mm, dm, direct, _ = pe.direct_level_specs(spec.scales, spec.capacity, 2)
+    w = jax.random.normal(jax.random.PRNGKey(2), (spec.output_dim, 193))
+
+    def loss_custom(x):
+        return jnp.sum(spec.encode_T(tables, x) * w)
+
+    def loss_naive(x):          # same math, no custom VJP anywhere
+        total = 0.0
+        for l in range(spec.num_levels):
+            keys, bary = pe.simplex_vertices_and_weights_T(
+                x / float(spec.scales[l]))
+            idx = pe._index_keys_T(keys, spec.capacity_log2, int(mm[l]),
+                                   int(dm[l]), bool(direct[l]))
+            feats = tables[l][idx]                 # [V, N, F]
+            out = jnp.einsum("vn,vnf->fn", bary, feats)
+            total += jnp.sum(out * w[2 * l:2 * l + 2])
+        return total
+
+    v1, g1 = jax.value_and_grad(loss_custom)(pts)
+    v2, g2 = jax.value_and_grad(loss_naive)(pts)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)
