@@ -128,6 +128,15 @@ class TrainerConfig:
     # image axis. 0 = whole batch in one program.
     micro_batch_imgs: int = 1
 
+    # Fuse the whole optimisation step (all microbatches + grad accumulation +
+    # Adam) into ONE jitted program: the microbatch loop becomes a lax.scan
+    # whose carry is the gradient pytree, so peak HBM stays at one microbatch
+    # while the per-dispatch overhead (significant on the remote axon tunnel:
+    # num_micro grad dispatches + accum + apply per step) collapses to a single
+    # dispatch. Bit-equivalent to the host loop (same accumulation order, same
+    # per-microbatch rng keys). Env override: PAGNERF_FUSED_STEP=0/1.
+    fused_micro_step: bool = False
+
     valid_every: int = 100
     render_batch: int = 8000
     val_mip: int = 2
@@ -428,17 +437,77 @@ class PanopticTrainer:
                                              frozen_fn)
             return optax.apply_updates(params, updates), new_opt
 
-        return grad_step, accum, apply_step
+        @partial(jax.jit, static_argnums=(0,))
+        def fused_step(num_micro, params, opt_state, occ, lod_w, batch, keys):
+            """The whole optimisation step as ONE program: scan over image
+            microbatches (carry = gradient pytree, so per-microbatch
+            activations are freed each iteration — plain scan, NO remat, which
+            keeps clear of the scan+remat compile pathology) followed by the
+            masked Adam update. Accumulation order and rng keys match the host
+            loop exactly."""
+            b = batch["imgs"].shape[0]
+            mb = b // num_micro
+            per_img = {k: v.reshape((num_micro, mb) + v.shape[1:])
+                       for k, v in batch.items()
+                       if getattr(v, "ndim", 0) >= 1 and v.shape[0] == b}
+            shared = {k: v for k, v in batch.items() if k not in per_img}
+
+            def micro(sub_s, key):
+                sub = dict(shared, **sub_s)
+
+                def loss_fn(p):
+                    return self._compute_losses(p, sub, stage, key, occ, lod_w)
+
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                return grads, losses
+
+            acc_g, acc_l = micro({k: v[0] for k, v in per_img.items()}, keys[0])
+            if num_micro > 1:
+                def body(carry, xs):
+                    g, l = micro(*xs)
+                    return (jax.tree.map(jnp.add, carry[0], g),
+                            jax.tree.map(jnp.add, carry[1], l)), None
+
+                (acc_g, acc_l), _ = jax.lax.scan(
+                    body, (acc_g, acc_l),
+                    ({k: v[1:] for k, v in per_img.items()}, keys[1:]))
+            grads = jax.tree.map(lambda g: g * (1.0 / num_micro), acc_g)
+            updates, new_opt = masked_update(self.tx, grads, opt_state, params,
+                                             frozen_fn)
+            return optax.apply_updates(params, updates), new_opt, acc_l
+
+        return grad_step, accum, apply_step, fused_step
+
+    def _fused_step_enabled(self) -> bool:
+        import os
+        env = os.environ.get("PAGNERF_FUSED_STEP")
+        if env is not None:
+            return env == "1"
+        return self.cfg.fused_micro_step
 
     def train_step(self, stage: StageConfig, batch: Dict[str, np.ndarray]):
         """One optimisation step with image-axis gradient accumulation."""
         if stage not in self._train_step_cache:
             self._train_step_cache[stage] = self._make_train_step(stage)
-        grad_step, accum, apply_step = self._train_step_cache[stage]
+        grad_step, accum, apply_step, fused_step = self._train_step_cache[stage]
 
         b = batch["imgs"].shape[0]
         mb = snap_microbatch(b, self.cfg.micro_batch_imgs or b)
         num_micro = b // mb
+
+        if self._fused_step_enabled():
+            keys = []
+            for _ in range(num_micro):   # same key stream as the host loop
+                self._step_key, k = jax.random.split(self._step_key)
+                keys.append(k)
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.params, self.opt_state, acc_l = fused_step(
+                num_micro, self.params, self.opt_state, self.occ, self.lod_w,
+                dev_batch, jnp.stack(keys))
+            self.global_step += 1
+            return {k: v / num_micro for k, v in acc_l.items()}
+
         acc_g = acc_l = None
         for m in range(num_micro):
             sl = slice(m * mb, (m + 1) * mb)

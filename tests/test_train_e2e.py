@@ -208,3 +208,45 @@ def test_run_epoch_triggers_seed_prune():
     assert not getattr(trainer, "_pruned", False)
     trainer.run_epoch(1)
     assert trainer._pruned
+
+
+def test_fused_micro_step_matches_host_loop():
+    """The single-dispatch fused step (scan over microbatches + in-program
+    Adam) must produce the same parameters and losses as the host-side
+    microbatch loop: same accumulation order, same per-microbatch rng keys."""
+    import jax
+
+    def run(fused):
+        trainer, ds = make_trainer(batch_size=4, micro_batch_imgs=2,
+                                   fused_micro_step=fused)
+        stage = trainer.stage_for_epoch(2)
+        rng = np.random.default_rng(7)
+        losses = None
+        for _ in range(3):
+            batch = trainer.dataset.sample_batch(rng, 4, 64)
+            losses = trainer.train_step(stage, batch)
+        return trainer.params, {k: float(v) for k, v in losses.items()}
+
+    p_loop, l_loop = run(False)
+    p_fused, l_fused = run(True)
+    assert set(l_loop) == set(l_fused)
+    for k in l_loop:
+        np.testing.assert_allclose(l_fused[k], l_loop[k], rtol=1e-5, atol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(p_loop)
+    flat_b = jax.tree_util.tree_leaves(p_fused)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_micro_step_single_microbatch():
+    """num_micro == 1 skips the scan but still fuses grad + Adam in one call."""
+    trainer, ds = make_trainer(batch_size=2, micro_batch_imgs=2,
+                               fused_micro_step=True)
+    stage = trainer.stage_for_epoch(0)
+    rng = np.random.default_rng(3)
+    losses = []
+    for _ in range(6):
+        batch = trainer.dataset.sample_batch(rng, 2, 64)
+        losses.append(float(trainer.train_step(stage, batch)["rgb_loss"]))
+    assert losses[-1] < losses[0]
