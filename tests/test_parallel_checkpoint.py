@@ -147,3 +147,58 @@ def test_checkpoint_persists_prune_regime(tmp_path):
     checkpoint.load_checkpoint(path, trainer2, "full")
     assert trainer2._pruned is True
     assert trainer2._occ_frac == 0.125
+
+
+def test_sharded_fused_step_matches_host_loop():
+    """The single-dispatch fused step (scan over microbatches + in-program Adam)
+    under an 8-way ray sharding matches the unsharded host-loop step: GSPMD must
+    propagate the ray-axis sharding through the in-program microbatch reshape."""
+    import jax.numpy as jnp
+
+    from pagnerf_tpu.data.multiview import MultiviewDataset
+    from pagnerf_tpu.data.synthetic import make_dataset
+    from pagnerf_tpu.models.nefs import GridConfig, PanopticDeltaNeF
+    from pagnerf_tpu.models.pipeline import BAPipeline
+    from pagnerf_tpu.models.tracer import TracerConfig
+    from pagnerf_tpu.train.trainer import PanopticTrainer, TrainerConfig
+
+    data = make_dataset(num_views=4, width=16, height=12, num_spheres=2)
+    ds = MultiviewDataset(data)
+    si = ds.semantic_info
+
+    def build(fused):
+        nef = PanopticDeltaNeF(
+            grid=GridConfig(grid_type="HashGrid", num_lods=2, feature_dim=2,
+                            log2_table_size=8, base_resolution=4,
+                            finest_resolution=8),
+            num_classes=si["num_classes"], num_instances=si["num_instances"],
+            hidden_dim=8, panoptic_features_type="delta")
+        pipe = BAPipeline(nef, TracerConfig(num_steps=8),
+                          jnp.asarray(data["view_matrices"]))
+        cfg = TrainerConfig(epochs=1, batch_size=2, num_rays_sampled_per_img=32,
+                            sem_epoch_start=0, inst_epoch_start=0, prune_every=-1,
+                            optimize_val_extrinsics=False,
+                            inst_outlier_rejection=False, micro_batch_imgs=1,
+                            fused_micro_step=fused)
+        return PanopticTrainer(pipe, ds, cfg, occ_level=3)
+
+    rng = np.random.default_rng(0)
+    t1 = build(False)
+    stage = t1.stage_for_epoch(0)
+    batch = t1.dataset.sample_batch(rng, 2, 32)   # 2 imgs, mb=1 -> scan of 2
+    losses_plain = t1.train_step(stage, batch)
+
+    t2 = build(True)
+    mesh = make_mesh(8)
+    with mesh:
+        t2.params = replicate_tree(t2.params, mesh)
+        t2.opt_state = replicate_tree(t2.opt_state, mesh)
+        t2.occ = replicate_tree(t2.occ, mesh)
+        t2.lod_w = replicate_tree(t2.lod_w, mesh)
+        sharded = shard_ray_batch(batch, mesh)
+        losses_fused = t2.train_step(stage, sharded)
+
+    for k in losses_plain:
+        np.testing.assert_allclose(float(losses_plain[k]),
+                                   float(losses_fused[k]), rtol=2e-3,
+                                   err_msg=k)
