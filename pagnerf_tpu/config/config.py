@@ -214,6 +214,10 @@ FLAG_GROUPS: Dict[str, list] = {
         # reference layout's epoch-0 empty-space skipping; see trainer.prune)
         ("seed-prune-epoch", int, -1, None, None),
         ("seed-keep-frac", float, 0.2, None, None),
+        # image-axis gradient accumulation + the single-dispatch fused step
+        # (TrainerConfig.micro_batch_imgs / fused_micro_step)
+        ("micro-batch-imgs", int, 1, None, None),
+        ("fused-micro-step", B, False, None, None),
         ("inst-num-dilations", int, -1, None, None),
         # minimum instance-mask pixel count kept by the validation cleanup; the
         # reference hardcodes 100 (tuned for 1280x720 berries,
