@@ -122,6 +122,43 @@ def main():
     t_scat = loop(scatter_step, st0, f"MXU dual scatter x{num_lods} levels "
                   f"({num_lods * v * n / 1e6:.0f}M events/table)")
 
+    # ---- 3b. SINGLE-grid encode FWD+BWD (the rgb-only segments' cost) ------
+    # Epochs < sem/inst_epoch_start (600 of the reference's 801) never run the
+    # delta grid: their encode phase is this, not the dual probe above.
+    @jax.jit
+    def single_vjp_step(state):
+        ta, coords = state
+        def f_(ta_):
+            a = spec.encode_T(ta_, coords, jnp.bfloat16)
+            return (a.astype(jnp.float32) ** 2).mean()
+        ga = jax.grad(f_)(ta)
+        return ta - 1e-3 * ga, coords
+
+    t_single = loop(single_vjp_step, (spec.init(ka), coords0),
+                    "SINGLE-grid encode FWD+BWD (rgb-only segments)")
+
+    # ---- 3c. tracer tail: integration weights + channel compositing grad ---
+    # Attributes the step remainder after encode/scatter/MLP: the [R, S]
+    # cumsum-exp integration + feature-major composite + loss reduction, at the
+    # post-prune compacted scale (R rays x S=compact samples, 19 channels).
+    @jax.jit
+    def composite_step(state):
+        tau_p, feats_p = state
+        mask = jnp.ones((rays, compact), bool)
+        def f_(tp, fp):
+            from pagnerf_tpu.ops.composite import (composite_channel_T,
+                                                   exponential_integration_weights)
+            w, alpha = exponential_integration_weights(jnp.abs(tp), mask)
+            out = composite_channel_T(fp, w)
+            return (out ** 2).mean() + (alpha ** 2).mean()
+        gt, gf = jax.grad(f_, argnums=(0, 1))(tau_p, feats_p)
+        return tau_p - 1e-3 * gt, feats_p - 1e-3 * gf
+
+    t_comp = loop(composite_step,
+                  (jax.random.uniform(k1, (rays, compact)),
+                   jax.random.uniform(k2, (19, rays, compact))),
+                  f"integration+composite grad (R={rays}, S={compact}, C=19)")
+
     # ---- 4. decoder MLP grad at matched sample counts (params descend) -----
     from pagnerf_tpu.models.decoder import BasicDecoder
     dec = BasicDecoder(output_dim=16, hidden_dim=64, num_layers=1,
@@ -143,7 +180,9 @@ def main():
         "n_samples": n, "levels": num_lods,
         "enc_fwd_ms": round(t_fwd, 1),
         "enc_vjp_ms": round(t_vjp, 1),
+        "enc_single_vjp_ms": round(t_single, 1),
         "scatter_ms": round(t_scat, 1),
+        "composite_grad_ms": round(t_comp, 1),
         "mlp_grad_ms": round(t_mlp, 1),
     }), flush=True)
 
