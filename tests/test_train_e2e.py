@@ -239,6 +239,38 @@ def test_fused_micro_step_matches_host_loop():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_fused_micro_step_val_pose_stage_freezes_nef():
+    """On a frozen val-pose epoch (training_val_poses) the fused step's
+    in-program masked Adam must behave exactly like the host loop's: only
+    extrinsics move, nef params and their optimizer moments stay untouched."""
+    import jax
+
+    def run(fused):
+        trainer, ds = make_trainer(batch_size=2, micro_batch_imgs=1,
+                                   fused_micro_step=fused,
+                                   optimize_val_extrinsics=True,
+                                   val_extrinsics_start=2,
+                                   val_extrinsics_every=2)
+        stage = trainer.stage_for_epoch(2)
+        assert stage.training_val_poses
+        nef_before = jax.tree_util.tree_leaves(trainer.params["nef"])
+        rng = np.random.default_rng(11)
+        for _ in range(2):
+            batch = trainer.dataset.sample_batch(rng, 2, 64, split="val")
+            losses = trainer.train_step(stage, batch)
+        nef_after = jax.tree_util.tree_leaves(trainer.params["nef"])
+        for a, b in zip(nef_before, nef_after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        return (np.asarray(trainer.params["extrinsics"]),
+                {k: float(v) for k, v in losses.items()})
+
+    ext_loop, l_loop = run(False)
+    ext_fused, l_fused = run(True)
+    for k in l_loop:
+        np.testing.assert_allclose(l_fused[k], l_loop[k], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ext_fused, ext_loop, rtol=1e-5, atol=1e-7)
+
+
 def test_fused_micro_step_single_microbatch():
     """num_micro == 1 skips the scan but still fuses grad + Adam in one call."""
     trainer, ds = make_trainer(batch_size=2, micro_batch_imgs=2,
