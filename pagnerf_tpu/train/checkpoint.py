@@ -52,8 +52,13 @@ def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
         "occ_frac": float(getattr(trainer, "_occ_frac",
                                   float(np.asarray(trainer.occ.mask).mean()))),
     }
-    with open(path, "wb") as f:
+    # atomic write: a watchdog/timeout SIGKILL mid-save must never leave a
+    # truncated model.ckpt as the newest file — an auto-resume loop would pick
+    # it up and crash-retry forever (os.replace is atomic on POSIX)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         f.write(flax_ser.msgpack_serialize(state))
+    os.replace(tmp, path)
     log.info("saved checkpoint to %s", path)
     return path
 

@@ -462,16 +462,28 @@ class PanopticTrainer:
                     loss_fn, has_aux=True)(params)
                 return grads, losses
 
-            acc_g, acc_l = micro({k: v[0] for k, v in per_img.items()}, keys[0])
-            if num_micro > 1:
+            if num_micro == 1:
+                acc_g, acc_l = micro({k: v[0] for k, v in per_img.items()},
+                                     keys[0])
+            else:
+                # scan ALL microbatches from a zeros carry: peeling the first
+                # iteration outside the scan would emit a SECOND full copy of
+                # the fwd+bwd graph in the same program (no CSE across a scan
+                # boundary) — ~2x the compile time on the slow axon toolchain.
+                # zeros + g0 == g0 exactly, so accumulation parity with the
+                # host loop is preserved.
+                g_sh, l_sh = jax.eval_shape(
+                    micro, {k: v[0] for k, v in per_img.items()}, keys[0])
+                zeros = lambda tree: jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
                 def body(carry, xs):
                     g, l = micro(*xs)
                     return (jax.tree.map(jnp.add, carry[0], g),
                             jax.tree.map(jnp.add, carry[1], l)), None
 
                 (acc_g, acc_l), _ = jax.lax.scan(
-                    body, (acc_g, acc_l),
-                    ({k: v[1:] for k, v in per_img.items()}, keys[1:]))
+                    body, (zeros(g_sh), zeros(l_sh)), (per_img, keys))
             grads = jax.tree.map(lambda g: g * (1.0 / num_micro), acc_g)
             updates, new_opt = masked_update(self.tx, grads, opt_state, params,
                                              frozen_fn)
@@ -483,7 +495,9 @@ class PanopticTrainer:
         import os
         env = os.environ.get("PAGNERF_FUSED_STEP")
         if env is not None:
-            return env == "1"
+            # accept the usual truthy spellings — treating anything != "1" as
+            # disable would silently override an enabled config for =true/=on
+            return env.strip().lower() in ("1", "true", "yes", "on", "y")
         return self.cfg.fused_micro_step
 
     def train_step(self, stage: StageConfig, batch: Dict[str, np.ndarray]):

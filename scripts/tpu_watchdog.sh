@@ -19,9 +19,20 @@ echo "$(date '+%F %T') watchdog start: $* (ckpt root $CKPT_ROOT)" >> "$LOG"
 while true; do
   if [ -f "$DONE" ]; then echo "$(date '+%F %T') done marker present, exiting" >> "$LOG"; break; fi
   if timeout -k 10 45 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
-    CKPT=$(ls -t "$CKPT_ROOT"/*/model.ckpt 2>/dev/null | head -1)
+    # newest LOADABLE checkpoint: a run killed mid-save used to leave a
+    # truncated newest file (save is atomic now, but stay robust to old runs)
+    CKPT=""
+    for c in $(ls -t "$CKPT_ROOT"/*/model.ckpt 2>/dev/null); do
+      if python - "$c" >/dev/null 2>&1 <<'PYEOF'
+import sys
+import flax.serialization as s
+s.msgpack_restore(open(sys.argv[1], "rb").read())
+PYEOF
+      then CKPT="$c"; break
+      else echo "$(date '+%F %T') skipping unloadable checkpoint $c" >> "$LOG"; fi
+    done
     echo "$(date '+%F %T') device up; launching (resume: ${CKPT:-none})" >> "$LOG"
-    timeout -k 30 14400 python main.py --log-dir "$LOG_DIR" "$@" \
+    timeout -k 30 14400 python main.py --log-dir "$LOG_DIR" --exp-name "$EXP" "$@" \
       ${CKPT:+--pretrained "$CKPT"} >> "$LOG" 2>&1
     rc=$?
     echo "$(date '+%F %T') run exited rc=$rc" >> "$LOG"

@@ -149,11 +149,14 @@ def test_checkpoint_persists_prune_regime(tmp_path):
     assert trainer2._occ_frac == 0.125
 
 
-def test_sharded_fused_step_matches_host_loop():
+def test_sharded_fused_step_matches_host_loop(monkeypatch):
     """The single-dispatch fused step (scan over microbatches + in-program Adam)
     under an 8-way ray sharding matches the unsharded host-loop step: GSPMD must
     propagate the ray-axis sharding through the in-program microbatch reshape."""
     import jax.numpy as jnp
+
+    # the env var would override BOTH configs and make the A/B vacuous
+    monkeypatch.delenv("PAGNERF_FUSED_STEP", raising=False)
 
     from pagnerf_tpu.data.multiview import MultiviewDataset
     from pagnerf_tpu.data.synthetic import make_dataset

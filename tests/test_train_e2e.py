@@ -210,11 +210,14 @@ def test_run_epoch_triggers_seed_prune():
     assert trainer._pruned
 
 
-def test_fused_micro_step_matches_host_loop():
+def test_fused_micro_step_matches_host_loop(monkeypatch):
     """The single-dispatch fused step (scan over microbatches + in-program
     Adam) must produce the same parameters and losses as the host-side
     microbatch loop: same accumulation order, same per-microbatch rng keys."""
     import jax
+
+    # the env var would override BOTH configs and make the A/B vacuous
+    monkeypatch.delenv("PAGNERF_FUSED_STEP", raising=False)
 
     def run(fused):
         trainer, ds = make_trainer(batch_size=4, micro_batch_imgs=2,
@@ -239,11 +242,13 @@ def test_fused_micro_step_matches_host_loop():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_fused_micro_step_val_pose_stage_freezes_nef():
+def test_fused_micro_step_val_pose_stage_freezes_nef(monkeypatch):
     """On a frozen val-pose epoch (training_val_poses) the fused step's
     in-program masked Adam must behave exactly like the host loop's: only
     extrinsics move, nef params and their optimizer moments stay untouched."""
     import jax
+
+    monkeypatch.delenv("PAGNERF_FUSED_STEP", raising=False)
 
     def run(fused):
         trainer, ds = make_trainer(batch_size=2, micro_batch_imgs=1,
