@@ -195,7 +195,8 @@ def main():
     # ---- phase 1: pre-prune (ray mode, 512 steps, dense occupancy) --------
     stage_pre = trainer.stage_for_epoch(0)
     assert stage_pre.raymarch_type == "ray" and stage_pre.compact_steps == 0
-    pre_rays = run_phase(rgb_only(stage_pre), "pre[rgb]", pre_iters, start, 1)
+    pre_rays = run_phase(rgb_only(stage_pre), "pre[rgb]", pre_iters, start,
+                         micro_for(stage_pre, cap_rgb))
 
     # ---- phase 2: seeded pre-prune (conservative seed + compaction) -------
     # A real run seeds from a ~20-epoch field; the bench's 4-step field is
