@@ -40,15 +40,20 @@ def composite_channel(feats: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
 
     feats [R, S, C], weights [R, S] -> [R, C]. Equals kaolin
     ``sum_reduce(transmittance * feats, boundary)`` (reference tracer line 161/200).
+
+    precision='highest': TPU einsums default to bf16 MXU multiplies even on f32
+    operands; the composited values feed the loss/PSNR directly, and the
+    contraction is tiny (C x R x S MACs), so full f32 costs nothing measurable
+    (same guard as core/camera.py pose chains).
     """
-    return jnp.einsum("rsc,rs->rc", feats, weights)
+    return jnp.einsum("rsc,rs->rc", feats, weights, precision="highest")
 
 
 def composite_channel_T(featsT: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Feature-major compositing: featsT [C, R, S], weights [R, S] -> [R, C].
     The per-sample features keep the sample axes minor (TPU lane-padding — see
     ops/permuto_encoding.py); only the tiny per-ray output is sample-major."""
-    return jnp.einsum("crs,rs->rc", featsT, weights)
+    return jnp.einsum("crs,rs->rc", featsT, weights, precision="highest")
 
 
 def composite_scalar(vals: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

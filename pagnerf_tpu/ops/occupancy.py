@@ -69,7 +69,17 @@ class OccupancyGrid:
         """
         shape = idx.shape
         flat = idx.reshape(-1)
-        rows = self.mask.astype(jnp.uint8).reshape(-1, 128)[flat >> 7]   # [N, 128]
+        m = self.mask.astype(jnp.uint8)
+        pad = (-m.size) % 128                 # levels < 3 have res^3 < 128 cells
+        if pad:
+            m = jnp.pad(m, (0, pad))
+        # promise_in_bounds skips the bounds-check select (cell_indices clips to
+        # [0, res^3)); the barrier keeps the row gather standalone — fused into
+        # the lane select it degrades to element-at-a-time addressing
+        # (ops/table_gather.py:46-50, CLAUDE.md rule 2)
+        rows = m.reshape(-1, 128).at[flat >> 7].get(
+            mode="promise_in_bounds")                                   # [N, 128]
+        rows = jax.lax.optimization_barrier(rows)
         lane = (flat & 127)[:, None]
         sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane
         return jnp.sum(rows * sel.astype(jnp.uint8), axis=-1).astype(bool).reshape(shape)
@@ -82,15 +92,23 @@ class OccupancyGrid:
         """Boolean visibility lookup at world coords [3, ...]."""
         return self._lookup(self.cell_indices_T(coordsT))
 
-    def cell_centers_jittered(self, key: jax.Array) -> jnp.ndarray:
-        """One uniformly-jittered point per cell, in [-1, 1]^3 — the prune sampling
-        pattern of the reference (panoptic_delta_nef.py:79-86). Ordered to match
-        ``cell_indices`` flattening."""
+    def cell_centers_jittered_T(self, key: jax.Array) -> jnp.ndarray:
+        """One uniformly-jittered point per cell, FEATURE-MAJOR [3, res^3] in
+        [-1, 1]^3 — the prune sampling pattern of the reference
+        (panoptic_delta_nef.py:79-86), ordered to match ``cell_indices``
+        flattening. [3, N] keeps the 2.1M-point array off the [N, 3] lane-pad
+        cliff (42x HBM, CLAUDE.md rule 1)."""
         res = self.res
-        ijk = jnp.stack(jnp.meshgrid(jnp.arange(res), jnp.arange(res), jnp.arange(res),
-                                     indexing="ij"), axis=-1).reshape(-1, 3)
+        ijk = jnp.stack([g.reshape(-1) for g in
+                         jnp.meshgrid(jnp.arange(res), jnp.arange(res),
+                                      jnp.arange(res), indexing="ij")])   # [3, N]
         jitter = jax.random.uniform(key, ijk.shape)
         return (ijk.astype(jnp.float32) + jitter) / res * 2.0 - 1.0
+
+    def cell_centers_jittered(self, key: jax.Array) -> jnp.ndarray:
+        """Sample-major [res^3, 3] view of ``cell_centers_jittered_T`` (tests /
+        small grids — at flagship resolution prefer the _T variant)."""
+        return self.cell_centers_jittered_T(key).T
 
     def update_from_density(self, density: jnp.ndarray,
                             decay: float = DENSITY_DECAY,

@@ -14,6 +14,7 @@ filter (tracers/panoptic_packed_rf_tracer.py:88-109).
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -94,7 +95,9 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
     reference's packed voxel samples would be, while keeping a static [R, S] layout.
 
     The ``ray_max_travel`` filter (samples deeper than max_travel past the first hit
-    are dropped) matches tracers/panoptic_packed_rf_tracer.py:88-109.
+    are dropped) applies in 'voxel' mode ONLY, exactly like the reference
+    (tracers/panoptic_packed_rf_tracer.py:88 gates on raymarch_type == 'voxel');
+    'ray' mode keeps every occupied sample in the AABB interval.
     """
     t_near, t_far, hit_aabb = aabb_intersect(rays)
     t0 = jnp.maximum(t_near, rays.dist_min)
@@ -108,11 +111,21 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
         return oT[:, :, None] + dT[:, :, None] * depths[None, :, :]   # [3, R, S]
 
     if raymarch_type == "voxel":
-        # Coarse occupancy probe to find the first-hit depth per ray.
-        probe_depths, _ = _uniform_samples(t0, t1, num_steps, None)
+        # Coarse occupancy probe to find the first-hit depth per ray. The probe
+        # count is set by the GRID resolution, not num_steps: ceil(sqrt(3)*res)
+        # midpoint probes bound the spacing by one cell on even the longest
+        # cube diagonal (span <= 2*sqrt(3), cell = 2/res), so a 1-cell-thick
+        # occupied wall cannot fall between probes — and a 512-step march no
+        # longer pays a 512-wide second occupancy gather.
+        probe_n = int(math.ceil(math.sqrt(3.0) * occ.res))
+        probe_depths, _ = _uniform_samples(t0, t1, probe_n, None)
         probe_occ = occ.occupied_at_T(positions_at(probe_depths))
         first = jnp.min(jnp.where(probe_occ, probe_depths, _BIG), axis=-1)
         has_hit = first < _BIG
+        # back off one probe step: `first` is an occupied-cell MIDPOINT; the
+        # cell's front face (where surface density lives) starts up to a step
+        # earlier. Samples landing in the empty backoff get masked anyway.
+        first = jnp.maximum(first - (t1 - t0) / probe_n, t0)
         t0 = jnp.where(has_hit, first, t0)
         if ray_max_travel != float("inf"):
             t1 = jnp.where(has_hit, jnp.minimum(t0 + ray_max_travel, t1), t1)
@@ -120,10 +133,6 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
     depths, deltas = _uniform_samples(t0, t1, num_steps, key)
     positionsT = positions_at(depths)
     mask = occ.occupied_at_T(positionsT) & hit_aabb[:, None]
-
-    if raymarch_type != "voxel" and ray_max_travel != float("inf"):
-        first = jnp.min(jnp.where(mask, depths, _BIG), axis=-1, keepdims=True)
-        mask = mask & ((depths - first) < ray_max_travel)
 
     return RaymarchResult(positionsT=positionsT, depths=depths, deltas=deltas,
                           mask=mask)

@@ -561,7 +561,11 @@ class PanopticTrainer:
             channels = ("density", "panoptic_density")
 
         @jax.jit
-        def density_at(params, pts):
+        def density_at(params, ptsT):
+            # [3, chunk] in, transposed at the query seam (query_nef transposes
+            # straight back — XLA cancels the pair); keeps the full [res^3]
+            # centers array feature-major (a [2.1M, 3] operand lane-pads 42x)
+            pts = ptsT.T
             dirs = jnp.ones_like(pts) / jnp.sqrt(3.0)
             out = self.pipeline.query_nef(params, pts, dirs, frozenset(channels),
                                           self.lod_w)
@@ -573,11 +577,11 @@ class PanopticTrainer:
         density = None
         for _ in range(max(1, getattr(self.cfg, "prune_samples_per_cell", 4))):
             self._step_key, k = jax.random.split(self._step_key)
-            centers = self.occ.cell_centers_jittered(k)
-            n = centers.shape[0]
+            centersT = self.occ.cell_centers_jittered_T(k)
+            n = centersT.shape[1]
             dens = []
             for i in range(0, n, chunk):
-                dens.append(density_at(self.params, centers[i:i + chunk]))
+                dens.append(density_at(self.params, centersT[:, i:i + chunk]))
             d = jnp.concatenate(dens)
             density = d if density is None else jnp.maximum(density, d)
         dilate = getattr(self.cfg, "prune_dilate", 1) + (1 if seed else 0)

@@ -58,13 +58,16 @@ def test_raymarch_occupancy_skipping():
     assert valid_z.size > 0 and (valid_z < 0).all()
 
 
-def test_raymarch_max_travel_filter():
+def test_raymarch_max_travel_is_voxel_mode_only():
+    """The reference applies ray_max_travel ONLY in voxel mode
+    (tracers/panoptic_packed_rf_tracer.py:88 gates on raymarch_type=='voxel');
+    'ray' mode keeps every occupied AABB sample regardless of travel."""
     occ = OccupancyGrid.create(level=3)
     rays = make_rays([[0, 0, 3]], [[0, 0, -1]])
     rm = raymarch(rays, occ, num_steps=64, ray_max_travel=0.5)
     d = np.asarray(rm.depths)[np.asarray(rm.mask)]
     assert d.size > 0
-    assert d.max() - d.min() <= 0.5 + 1e-5
+    assert d.max() - d.min() > 0.5  # full ~2.0 AABB chord stays supervised
 
 
 def test_voxel_mode_concentrates_samples():
@@ -165,3 +168,52 @@ def test_occupancy_prune_dilation():
     assert mask.sum() == 27   # exactly the one-cell margin, nothing else
     # occupancy values are NOT dilated — only the visibility mask
     assert float(new.occupancy.sum()) == 10.0
+
+
+def test_voxel_probe_finds_thin_wall_regardless_of_num_steps():
+    """The first-hit probe resolution follows the GRID, not num_steps: a
+    1-cell-thick occupied wall must be found (and its front face covered via
+    the one-probe-step backoff) even when num_steps probes would step over it."""
+    occ0 = OccupancyGrid.create(level=4)
+    res = occ0.res
+    ijk = np.stack(np.meshgrid(np.arange(res), np.arange(res), np.arange(res),
+                               indexing="ij"), -1).reshape(-1, 3)
+    wall_k = res // 4                       # single-cell-thick z-slab
+    mask = ijk[:, 2] == wall_k
+    occ = OccupancyGrid(occupancy=jnp.asarray(mask, jnp.float32),
+                        mask=jnp.asarray(mask), level=4)
+    z_lo = wall_k / res * 2 - 1             # wall front face (ray travels -z)
+    z_hi = (wall_k + 1) / res * 2 - 1
+    rays = make_rays([[0.01, 0.01, 3]], [[0, 0, -1]])
+    # 8 steps over the ~2.0 chord = 0.25 spacing >> the 0.125 cell: the old
+    # num_steps-tied probe could miss the wall entirely
+    rm = raymarch(rays, occ, num_steps=8, raymarch_type="voxel")
+    z = np.asarray(rm.positionsT[2])[np.asarray(rm.mask)]
+    assert z.size > 0, "probe stepped over a 1-cell wall"
+    assert (z >= z_lo - 1e-5).all() and (z <= z_hi + 1e-5).all()
+    # the re-fit interval starts at/before the wall's BACK face (+z side,
+    # hit first along -z travel): the backoff covers the face itself
+    assert np.asarray(rm.depths).min() <= (3 - z_hi) + 1e-5
+
+
+def test_occupancy_lookup_small_grid_levels():
+    """res^3 < 128 (levels 1-2) must not crash the 128-lane row reshape."""
+    for level in (1, 2):
+        occ = OccupancyGrid.create(level=level)
+        occ = OccupancyGrid(occupancy=occ.occupancy,
+                            mask=occ.mask.at[0].set(False), level=level)
+        pts = jnp.asarray([[-0.99, -0.99, -0.99], [0.5, 0.5, 0.5]]).T
+        got = np.asarray(occ.occupied_at_T(pts))
+        assert got.tolist() == [False, True]
+
+
+def test_cell_centers_feature_major_matches_sample_major():
+    occ = OccupancyGrid.create(level=2)
+    key = jax.random.PRNGKey(3)
+    ct = occ.cell_centers_jittered_T(key)
+    c = occ.cell_centers_jittered(key)
+    assert ct.shape == (3, occ.res ** 3)
+    np.testing.assert_array_equal(np.asarray(ct.T), np.asarray(c))
+    # ordering matches cell_indices flattening: center i lands in cell i
+    idx = np.asarray(occ.cell_indices_T(ct))
+    np.testing.assert_array_equal(idx, np.arange(occ.res ** 3))
