@@ -66,9 +66,8 @@ class GridConfig:
 
     def build(self, name: str):
         kw = dataclasses.asdict(self)
-        kw["compute_dtype"] = jnp.bfloat16 if kw.pop("compute_dtype") == "bfloat16" else jnp.float32
-        grid_type = kw.pop("grid_type")
-        return build_grid(grid_type, name=name, **{**kw, "compute_dtype": kw["compute_dtype"]})
+        kw["compute_dtype"] = jnp.bfloat16 if kw["compute_dtype"] == "bfloat16" else jnp.float32
+        return build_grid(kw.pop("grid_type"), name=name, **kw)
 
     @property
     def output_dim(self) -> int:
@@ -151,17 +150,26 @@ class PanopticNeF(nn.Module):
             output_dim=3, hidden_dim=self.hidden_dim, num_layers=self.num_layers + 1,
             activation=self.activation_type, compute_dtype=cd, name="decoder_color")
         sem_act = self.sem_activation_type or self.activation_type
+        # TRUTHY fallbacks, like the reference (panoptic_nef.py:135): an
+        # explicit 0 in a ported config means "use num_layers", not 0 layers
         decoder_semantics = BasicDecoder(
             output_dim=self.num_classes, hidden_dim=self.sem_hidden_dim or self.hidden_dim,
-            num_layers=self.sem_num_layers if self.sem_num_layers is not None else self.num_layers,
+            num_layers=self.sem_num_layers or self.num_layers,
             activation=sem_act, compute_dtype=cd, name="decoder_semantics")
         decoder_inst = BasicDecoder(
             output_dim=self.num_instances, hidden_dim=self.inst_hidden_dim or self.hidden_dim,
-            num_layers=self.inst_num_layers if self.inst_num_layers is not None else self.num_layers,
+            num_layers=self.inst_num_layers or self.num_layers,
             activation=sem_act, compute_dtype=cd, name="decoder_inst")
         return decoder_density, decoder_color, decoder_semantics, decoder_inst
 
     def setup(self):
+        if self.grid.grid_type == "TensoRF":
+            # the reference's panoptic NeF registry rejects TensoRF up front
+            # (panoptic_nef.py:180-181); its (sigma, app) tuple output does not
+            # fit the shared feature pipeline — use models/tensorf.py's NeF
+            raise NotImplementedError(
+                "TensoRF grids are not supported by the panoptic NeFs "
+                "(reference parity); use the TensoRF NeF (models/tensorf.py)")
         self.grid_module = self.grid.build("grid")
         (self.decoder_density, self.decoder_color,
          self.decoder_semantics, self.decoder_inst) = self._make_decoders()
@@ -199,6 +207,8 @@ class PanopticNeF(nn.Module):
         return s
 
     def _inst(self, inst_inputT: jnp.ndarray) -> jnp.ndarray:
+        """Delta-NeF instance decode chain (panoptic_delta_nef.py:251-255):
+        sigmoid -> normalize -> /temperature -> softmax, all composable."""
         e = self.decoder_inst(inst_inputT)                         # [M, N]
         if self.inst_sigmoid:
             e = jax.nn.sigmoid(e)
@@ -208,6 +218,19 @@ class PanopticNeF(nn.Module):
             e = e / self.inst_soft_temperature
         if self.inst_softmax:
             e = jax.nn.softmax(e, axis=0)
+        return e
+
+    def _inst_base(self, inst_inputT: jnp.ndarray) -> jnp.ndarray:
+        """BASE-NeF instance decode (panoptic_nef.py:358-361): the softmax
+        branch re-decodes the RAW logits — sigmoid/normalize are discarded —
+        and there is no temperature (that belongs to the delta chain above)."""
+        e = self.decoder_inst(inst_inputT)                         # [M, N]
+        if self.inst_softmax:
+            return jax.nn.softmax(e, axis=0)
+        if self.inst_sigmoid:
+            e = jax.nn.sigmoid(e)
+        if self.inst_normalize:
+            e = e / (jnp.linalg.norm(e, axis=0, keepdims=True) + 1e-12)
         return e
 
     # --------------------------------------------------------------- forward
@@ -235,7 +258,7 @@ class PanopticNeF(nn.Module):
                 inst_input = coordsT
             else:
                 inst_input = jax.lax.stop_gradient(feats) if self.inst_detach else feats
-            out["inst_embedding"] = self._inst(inst_input)
+            out["inst_embedding"] = self._inst_base(inst_input)
         return out
 
     def supported_channels(self) -> Channels:
@@ -268,11 +291,25 @@ class PanopticDeltaNeF(PanopticNeF):
             cfg = self.delta_grid or self.grid
             self.delta_grid_module = cfg.build("delta_grid")
 
-    def _can_fuse_dual(self) -> bool:
+    def _can_fuse_dual(self, check_pft: bool = True) -> bool:
+        """check_pft=False is the DD variant's predicate: its delta grid always
+        exists and fuses regardless of panoptic_features_type."""
         return (self.fuse_dual_grid
-                and self.panoptic_features_type in ("delta", None)
+                and (not check_pft
+                     or self.panoptic_features_type in ("delta", None))
                 and (self.delta_grid is None or self.delta_grid == self.grid)
                 and self.grid.grid_type in _DUAL_FUSABLE)
+
+    def _delta_fused_feats(self, coordsT, feats, lod_weights,
+                           separate: bool = False):
+        """Non-fused delta fusion (panoptic_delta_nef.py:211-236): delta grid at
+        DETACHED coords, added to DETACHED main feats ('separate': delta alone)."""
+        delta_feats = self._grid_feats(self.delta_grid_module,
+                                       jax.lax.stop_gradient(coordsT),
+                                       lod_weights)
+        if separate:
+            return delta_feats
+        return jax.lax.stop_gradient(feats) + delta_feats
 
     def _dual_feats(self, coordsT, lod_weights):
         """Shared-lattice gather of main + delta tables. Returns
@@ -286,18 +323,12 @@ class PanopticDeltaNeF(PanopticNeF):
 
     def _panoptic_feats(self, coordsT, feats, lod_weights):
         """Grid additive fusion (panoptic_delta_nef.py:211-236). All [C, N]."""
-        feats_detached = jax.lax.stop_gradient(feats)
-        coords_detached = jax.lax.stop_gradient(coordsT)
         pft = self.panoptic_features_type
         if pft in ("delta", "separate", None):
-            delta_feats = self._grid_feats(self.delta_grid_module, coords_detached,
-                                           lod_weights)
-        if pft in ("delta", None):
-            return feats_detached + delta_feats
-        if pft == "separate":
-            return delta_feats
+            return self._delta_fused_feats(coordsT, feats, lod_weights,
+                                           separate=pft == "separate")
         if pft == "appearance":
-            return feats_detached
+            return jax.lax.stop_gradient(feats)
         if pft == "pos_encoding":
             return positional_embed_T(coordsT, self.pos_multires, True, True)
         if pft == "position":
@@ -356,9 +387,7 @@ class PanopticDDensityNeF(PanopticDeltaNeF):
         panop_needed = channels & {"delta_density", "panoptic_density", "semantics",
                                    "inst_embedding"}
         fuse = (bool(panop_needed) and not self.separate_sem_grid
-                and self.fuse_dual_grid
-                and (self.delta_grid is None or self.delta_grid == self.grid)
-                and self.grid.grid_type in _DUAL_FUSABLE)
+                and self._can_fuse_dual(check_pft=False))
         panop_feats = None
         if fuse:
             feats, panop_feats = self._dual_feats(coordsT, lod_weights)
@@ -375,11 +404,8 @@ class PanopticDDensityNeF(PanopticDeltaNeF):
             out["rgb"] = self._rgb(density_feats, ray_dT)
 
         if panop_needed and panop_feats is None:
-            feats_detached = jax.lax.stop_gradient(feats)
-            coords_detached = jax.lax.stop_gradient(coordsT)
-            delta_feats = self._grid_feats(self.delta_grid_module, coords_detached,
-                                           lod_weights)
-            panop_feats = delta_feats if self.separate_sem_grid else feats_detached + delta_feats
+            panop_feats = self._delta_fused_feats(coordsT, feats, lod_weights,
+                                                  separate=self.separate_sem_grid)
 
         if channels & {"delta_density", "panoptic_density"}:
             delta_density = self.decoder_delta_density(panop_feats)  # [1, N]

@@ -32,7 +32,7 @@ from ..core.render_buffer import RenderBuffer
 from ..ops.composite import (composite_channel_T, composite_scalar,
                              exponential_integration_weights)
 from ..ops.occupancy import OccupancyGrid
-from ..ops.raymarch import raymarch
+from ..ops.raymarch import compact_samples, raymarch
 
 RENDER_CHANNELS = frozenset({"depth", "alpha", "hit"})
 PANOPTIC_CHANNELS = frozenset({"semantics", "inst_embedding"})
@@ -115,8 +115,17 @@ def trace(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
     blocks of ``cfg.ray_chunk`` (see TracerConfig)."""
     n = rays.origins.shape[0]
     blk = cfg.ray_chunk
+
+    def _finalize(rb: RenderBuffer) -> RenderBuffer:
+        # per-ray sparsity -> scalar mean over the n REAL rays (pad rays from
+        # the chunked path are already sliced off by unstack)
+        if rb.ray_sparsity_loss is not None:
+            return rb.replace(ray_sparsity_loss=jnp.mean(rb.ray_sparsity_loss))
+        return rb
+
     if blk <= 0 or n <= blk:
-        return _trace_block(nef_fn, rays, occ, cfg, channels, stage, key)
+        return _finalize(_trace_block(nef_fn, rays, occ, cfg, channels, stage,
+                                      key))
 
     pad = (-n) % blk
     o = jnp.concatenate([rays.origins, jnp.zeros((pad, 3))])
@@ -143,11 +152,10 @@ def trace(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
     def unstack(x):
         if x is None:
             return None
-        if x.ndim == 1:   # scalar per block (ray_sparsity_loss): mean of blocks
-            return jnp.mean(x)
         return x.reshape(num_blocks * blk, *x.shape[2:])[:n]
 
-    return jax.tree.map(unstack, stacked, is_leaf=lambda v: v is None)
+    return _finalize(jax.tree.map(unstack, stacked,
+                                  is_leaf=lambda v: v is None))
 
 
 def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
@@ -157,7 +165,6 @@ def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfi
     rm = raymarch(rays, occ, cfg.num_steps, cfg.raymarch_type,
                   cfg.ray_max_travel, key=key)
     if cfg.compact_steps:
-        from ..ops.raymarch import compact_samples
         rm = compact_samples(rm, cfg.compact_steps)
     r, s = rm.depths.shape
 
@@ -182,9 +189,12 @@ def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfi
     out["hit"] = alpha[..., 0] > 0.0
 
     if cfg.ray_sparsity_reg > 0.0 and stage == "train":
-        # Cauchy sparsity on sigma (loss/regularizers.py:37-39), per-ray sum then mean
+        # Cauchy sparsity on sigma (loss/regularizers.py:37-39). Emitted PER RAY
+        # [R]; trace() means over the real rays — a per-block mean here would
+        # let the ray_chunk path's PADDING rays (which march through the scene)
+        # contribute values and gradients.
         spars = jnp.log(1.0 + 2.0 * density ** 2) * rm.mask
-        out["ray_sparsity_loss"] = jnp.mean(jnp.sum(spars, axis=-1)) * cfg.ray_sparsity_reg
+        out["ray_sparsity_loss"] = jnp.sum(spars, axis=-1) * cfg.ray_sparsity_reg
 
     # Panoptic transmittance: detached (delta tracer) or from panoptic_density with
     # detached deltas (DD tracer).

@@ -270,3 +270,64 @@ def test_dd_nef_dual_fusion_matches_unfused():
                 np.testing.assert_allclose(np.asarray(ref[ch]),
                                            np.asarray(out[ch]), atol=1e-5,
                                            err_msg=ch)
+
+
+def test_ray_chunk_sparsity_excludes_padding_rays():
+    """The chunked trace pads rays to a block multiple; the padding rays march
+    through the real scene and must NOT contribute to ray_sparsity_loss (the
+    reference has no padding at all). Chunked == unchunked, value AND grads."""
+    nef = make_nef()
+    params, _, _ = init_nef(nef)
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(7)                      # NOT a multiple of blk=4
+    base = dict(num_steps=16, ray_sparsity_reg=0.1)
+
+    def loss(p, cfg):
+        def nef_fn(c, d, ch):
+            return nef.apply(p, c, d, frozenset(ch))
+        rb = trace(nef_fn, rays, occ, TracerConfig(**cfg),
+                   frozenset({"rgb"}), stage="train")
+        return rb.ray_sparsity_loss
+
+    v_flat, g_flat = jax.value_and_grad(loss)(params, base)
+    v_chnk, g_chnk = jax.value_and_grad(loss)(params, dict(base, ray_chunk=4))
+    np.testing.assert_allclose(float(v_chnk), float(v_flat), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_flat), jax.tree.leaves(g_chnk)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_base_nef_inst_softmax_discards_sigmoid_normalize():
+    """Reference BASE NeF quirk (panoptic_nef.py:358-361): with inst_softmax
+    the softmax applies to the RAW re-decoded logits — inst_sigmoid /
+    inst_normalize have no effect on the output."""
+    import dataclasses as _dc
+
+    kw = dict(grid=TINY_GRID, num_classes=5, num_instances=8, hidden_dim=16,
+              inst_softmax=True)
+    coords = jnp.linspace(-0.5, 0.5, 18).reshape(3, 6)
+    dirs = jnp.ones((3, 6)) / jnp.sqrt(3.0)
+    key = jax.random.PRNGKey(0)
+
+    def run(**extra):
+        nef = PanopticNeF(**kw, **extra)
+        p = nef.init(key, coords, dirs, frozenset({"inst_embedding"}))
+        return np.asarray(nef.apply(p, coords, dirs,
+                                    frozenset({"inst_embedding"}))["inst_embedding"])
+
+    plain = run()
+    with_chain = run(inst_sigmoid=True, inst_normalize=True)
+    np.testing.assert_allclose(with_chain, plain, atol=1e-6)
+    np.testing.assert_allclose(plain.sum(axis=0), 1.0, rtol=1e-5)  # is a softmax
+
+
+def test_panoptic_nef_rejects_tensorf_grid():
+    """Reference parity: the panoptic NeF registry raises NotImplementedError
+    for TensoRF (panoptic_nef.py:180-181)."""
+    import pytest
+
+    nef = PanopticNeF(grid=GridConfig(grid_type="TensoRF"), num_classes=3,
+                      num_instances=4)
+    coords = jnp.zeros((3, 2))
+    with pytest.raises(NotImplementedError):
+        nef.init(jax.random.PRNGKey(0), coords, None, frozenset({"density"}))
