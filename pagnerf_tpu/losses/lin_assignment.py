@@ -72,6 +72,11 @@ def add_position_id_range_cost(cost: jnp.ndarray, centers_x: jnp.ndarray,
     m = cost.shape[1]
     slope = (max_num_inst_at_x + id_margin_at_frame_length) / frame_min_length
     x_limit = (m - id_margin_at_frame_length) / slope
+    if x_limit <= 0:
+        # fewer slots than the id margin: every slot is in-band anyway (the
+        # reference degenerates to the same no-op for m < 30 and to a NaN mod
+        # at exactly m == 30, outlier_rejection.py:26-28) — skip cleanly
+        return cost
     x = (-centers_x + 1.0) / 2.0                                  # remap [1,-1]->[0,1]
     lo = jnp.clip(slope * jnp.mod(x, x_limit), 0, m - 1).astype(jnp.int32)
     hi = jnp.clip(lo + id_margin_at_frame_length, 0, m - 1)
@@ -88,11 +93,11 @@ def add_position_id_range_cost(cost: jnp.ndarray, centers_x: jnp.ndarray,
 def _label_slot_cost(probs: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray,
                      num_labels: int):
     """cost[l, m] = -mean_{pixels with label l} probs[., m]
-    (lin_assignment_things.py:30-33). Returns (cost [K, M], present [K], oh [N, K])."""
+    (lin_assignment_things.py:30-33). Returns (cost [K, M], present [K])."""
     oh = jax.nn.one_hot(labels, num_labels, dtype=probs.dtype) * valid[:, None]
     counts = oh.sum(0)                                            # [K]
     cost = -(oh.T @ probs) / (counts[:, None] + 1e-4)             # [K, M]
-    return cost, counts > 0, oh
+    return cost, counts > 0
 
 
 def lin_assignment_loss(probs: jnp.ndarray, labels: jnp.ndarray,
@@ -102,14 +107,20 @@ def lin_assignment_loss(probs: jnp.ndarray, labels: jnp.ndarray,
     any pixel disagrees. probs [B, R, M] (softmaxed), labels [B, R]."""
 
     def per_image(p, gt):
-        valid = jnp.ones_like(gt, p.dtype)
-        cost, present, _ = _label_slot_cost(p, gt, valid, num_labels)
+        # ids >= num_labels (dataset taxonomy wider than the head) would clamp
+        # in assign[gt] and train toward an arbitrary slot — drop those pixels,
+        # the same guard as semantic_loss (photometric.py)
+        in_range = gt < num_labels
+        valid = in_range.astype(p.dtype)
+        cost, present = _label_slot_cost(p, gt, valid, num_labels)
         assign = hungarian_assign(cost, present)                  # [K]
-        virt = assign[gt]                                         # [N]
+        virt = assign[jnp.clip(gt, 0, num_labels - 1)]            # [N]
         pred = jnp.argmax(p, axis=-1)
-        any_wrong = jnp.any(virt != pred)
+        any_wrong = jnp.any((virt != pred) & in_range)
         nll = -jnp.take_along_axis(jnp.log(p + 1e-27), virt[:, None], axis=1)[:, 0]
-        return jnp.where(any_wrong, nll.mean(), 0.0)
+        nll = jnp.where(in_range, nll, 0.0)
+        denom = jnp.maximum(in_range.sum(), 1)
+        return jnp.where(any_wrong, nll.sum() / denom, 0.0)
 
     return jnp.mean(jax.vmap(per_image)(probs, labels))
 
@@ -129,17 +140,19 @@ def lin_assignment_things_loss(probs: jnp.ndarray, labels: jnp.ndarray,
     m = probs.shape[-1]
 
     def per_image(p, gt, stuff, pts):
-        things_mask = gt > 0
-        valid = (stuff | things_mask)
+        in_range = gt < num_labels      # same out-of-range guard as above
+        things_mask = (gt > 0) & in_range
+        valid = (stuff | things_mask) & in_range
         # things pixels vs slots 1..M-1 (slot 0 reserved, things.py:23-28)
-        things_valid = (things_mask & valid).astype(p.dtype)
-        cost, present, _ = _label_slot_cost(p[:, 1:], gt, things_valid, num_labels)
+        things_valid = things_mask.astype(p.dtype)
+        cost, present = _label_slot_cost(p[:, 1:], gt, things_valid, num_labels)
         present = present & (jnp.arange(num_labels) > 0)
         if outlier_rejection:
             centers = centers_from_points_with_labels(pts, gt, things_valid, num_labels)
             cost = add_position_id_range_cost(cost, centers[:, 0], present)
         assign = hungarian_assign(cost, present)                  # [K] in [0, M-1)
-        virt = jnp.where(things_mask, assign[gt] + 1, 0)          # [N]
+        virt = jnp.where(things_mask,
+                         assign[jnp.clip(gt, 0, num_labels - 1)] + 1, 0)  # [N]
         pred = jnp.argmax(p, axis=-1)
         any_wrong = jnp.any((virt != pred) & valid)
         nll = -jnp.take_along_axis(jnp.log(p + 1e-27), virt[:, None], axis=1)[:, 0]

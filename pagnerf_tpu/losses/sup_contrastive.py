@@ -30,10 +30,16 @@ def sup_contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
     def per_image(x, l, am):
         amf = am.astype(x.dtype)                                  # [R]
         sim = (x @ x.T) / temperature                             # [R, R] MXU
-        # numerical stability: subtract row max over valid contrast elements
+        # numerical stability: subtract row max over valid contrast elements.
+        # An all-masked image would give row_max = finfo.min -> logits ~ +3e38
+        # -> exp = inf -> inf * 0 = NaN poisoning the whole batch; clamp the
+        # max to a finite value so that image computes (gated-to-zero) finite
+        # garbage instead — NaN would leak through jnp.where in the BACKWARD.
         neg_inf = jnp.finfo(x.dtype).min
         sim_valid = jnp.where(amf[None, :] > 0, sim, neg_inf)
-        logits = sim - jax.lax.stop_gradient(jnp.max(sim_valid, axis=1, keepdims=True))
+        row_max = jnp.max(sim_valid, axis=1, keepdims=True)
+        row_max = jnp.where(row_max <= neg_inf / 2, 0.0, row_max)
+        logits = sim - jax.lax.stop_gradient(row_max)
         same = (l[:, None] == l[None, :]).astype(x.dtype)
         eye = jnp.eye(l.shape[0], dtype=x.dtype)
         logits_mask = (1.0 - eye) * amf[None, :]                  # drop self + masked
@@ -42,9 +48,15 @@ def sup_contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
         log_prob = pos_w * logits - neg_w * jnp.log(exp_logits.sum(1, keepdims=True) + 1e-16)
         mean_log_prob_pos = (pos_mask * log_prob).sum(1) / (pos_mask.sum(1) + 1e-16)
         loss = -(temperature / base_temperature) * mean_log_prob_pos
-        # only valid anchors with >= 1 positive contribute
-        w = amf * (pos_mask.sum(1) > 0)
-        return jnp.sum(loss * w), jnp.sum(w)
+        # reference per-image gates (sup_contrastive.py:129-136): an image with
+        # no anchors or < 2 unique masked-in labels contributes exactly 0
+        diff_pair = (l[:, None] != l[None, :]) & (am[:, None] & am[None, :])
+        img_ok = jnp.any(diff_pair).astype(x.dtype)
+        # only valid anchors with >= 1 positive contribute to the sum
+        w = amf * (pos_mask.sum(1) > 0) * img_ok
+        return jnp.sum(loss * w), jnp.sum(amf)
 
     sums, counts = jax.vmap(per_image)(feats, labels, anchor_mask)
+    # reference 'mean' reduction normalises by the TOTAL anchor count
+    # (sup_contrastive.py:149-152), not by the positive-bearing subset
     return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1.0)

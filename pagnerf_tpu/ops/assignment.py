@@ -42,8 +42,12 @@ def auction_assign(cost: jnp.ndarray, present: jnp.ndarray,
     rank = jnp.cumsum(present.astype(jnp.int32)) - 1
     active = present & (rank < m)
 
-    spread = jnp.maximum(jnp.max(jnp.where(active[:, None], benefit, 0.0))
-                         - jnp.min(jnp.where(active[:, None], benefit, 0.0)), 1e-6)
+    # fill inactive rows with -/+inf so the 0.0 filler cannot pollute the
+    # range (benefits in e.g. [0.4, 0.6] would otherwise read spread 0.6)
+    spread = jnp.maximum(
+        jnp.max(jnp.where(active[:, None], benefit, -jnp.inf))
+        - jnp.min(jnp.where(active[:, None], benefit, jnp.inf)), 1e-6)
+    spread = jnp.where(jnp.isfinite(spread), spread, 1e-6)   # no active rows
     eps = spread * eps_scale / (m + 1)
 
     cols = jnp.arange(m)
@@ -83,4 +87,20 @@ def auction_assign(cost: jnp.ndarray, present: jnp.ndarray,
     init = (jnp.int32(0), jnp.full((k,), -1, jnp.int32),
             jnp.full((m,), -1, jnp.int32), jnp.zeros((m,), jnp.float32))
     _, assign, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Feasibility completion: if max_iters expired with active rows still
+    # unassigned (pathological price wars on near-degenerate costs), pair them
+    # with UNOWNED columns by rank — a valid (if locally suboptimal) matching.
+    # The old `maximum(assign, 0)` alone silently sent every leftover row to
+    # column 0, training several GT labels onto the same slot.
+    unassigned = active & (assign < 0)
+    col_owned = jnp.zeros((m,), bool).at[
+        jnp.where(assign >= 0, assign, m)].set(True, mode="drop")
+    free = ~col_owned
+    row_rank = jnp.cumsum(unassigned.astype(jnp.int32)) - 1        # [K]
+    col_rank = jnp.cumsum(free.astype(jnp.int32)) - 1              # [M]
+    rank_to_col = jnp.zeros((m,), jnp.int32).at[
+        jnp.where(free, col_rank, m)].set(jnp.where(free, cols, 0), mode="drop")
+    assign = jnp.where(unassigned,
+                       rank_to_col[jnp.clip(row_rank, 0, m - 1)], assign)
     return jnp.maximum(assign, 0).astype(jnp.int32)
