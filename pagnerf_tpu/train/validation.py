@@ -74,7 +74,7 @@ def train_clustering(trainer, num_samples: int = 20000) -> Optional[MeanShift]:
     return ms
 
 
-def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
+def evaluate_metrics(trainer, epoch: int, data: Dict,
                      clustering: Optional[MeanShift] = None,
                      log_dir: Optional[str] = None) -> Dict[str, float]:
     """Render every image in ``data`` and accumulate the metric suite
@@ -93,11 +93,19 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
 
     use_sem = epoch >= cfg.sem_epoch_start and "semantics" in data
     use_inst = epoch >= cfg.inst_epoch_start and "instance" in data
+    if use_inst and not use_sem:
+        # instance eval (decode gating, PQ) requires the semantic map; don't
+        # silently render inst_embedding for every image and then skip it
+        log.info("instance metrics skipped: semantic channel inactive "
+                 "(sem_epoch_start=%d, epoch=%d)", cfg.sem_epoch_start, epoch)
+        use_inst = False
     channels = {"rgb", "depth"}
     if use_sem:
         channels.add("semantics")
     if use_inst:
         channels.add("inst_embedding")
+    have_sem_pred = "semantics_pred" in data
+    have_inst_pred = have_sem_pred and "instance_pred" in data
 
     use_base = cfg.optimize_val_extrinsics
     render_time = 0.0
@@ -118,8 +126,9 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
         rgb = np.asarray(rb.rgb).reshape(h, w, 3)
         psnr.update(rgb, np.asarray(data["imgs"][i])[..., :3])
         rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
-        frames["rgb"].append(rgb_u8)
-        frames["depth"].append(depth2rgb(np.asarray(rb.depth).reshape(h, w)))
+        if media_dir:   # frame colorization/accumulation only when saving
+            frames["rgb"].append(rgb_u8)
+            frames["depth"].append(depth2rgb(np.asarray(rb.depth).reshape(h, w)))
 
         sem_map = None
         if use_sem:
@@ -131,9 +140,10 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                 iou.update(sem_map, sem_gts)
                 if "semantics_pred" in data:
                     iou_pred.update(np.asarray(data["semantics_pred"][i]), sem_gts)
-            frames["sem"].append(label2rgb(sem_map, colormap=sem_cmap))
-            frames["sem_rgb"].append(label2rgb(sem_map, colormap=sem_cmap,
-                                               image=rgb_u8))
+            if media_dir:
+                frames["sem"].append(label2rgb(sem_map, colormap=sem_cmap))
+                frames["sem_rgb"].append(label2rgb(sem_map, colormap=sem_cmap,
+                                                   image=rgb_u8))
 
         if use_inst and sem_map is not None:
             inst_gts = np.asarray(data["instance"][i]).reshape(h, w)
@@ -152,18 +162,24 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                 inst_map, cfg.inst_num_dilations,
                 outlier_rejection=cfg.inst_outlier_rejection,
                 min_mask_px=getattr(cfg, "inst_min_mask_px", 100))
-            icmap = label_colormap(int(inst_map.max()) + 2)
-            frames["inst"].append(label2rgb(inst_map, colormap=icmap))
-            frames["inst_rgb"].append(label2rgb(inst_map, colormap=icmap,
-                                                image=rgb_u8, alpha=0.7))
-            frames["inst_conf"].append(depth2rgb(inst_conf, 0.0, 1.0))
+            if media_dir:
+                icmap = label_colormap(int(inst_map.max()) + 2)
+                frames["inst"].append(label2rgb(inst_map, colormap=icmap))
+                frames["inst_rgb"].append(label2rgb(inst_map, colormap=icmap,
+                                                    image=rgb_u8, alpha=0.7))
+                frames["inst_conf"].append(depth2rgb(inst_conf, 0.0, 1.0))
             if media_dir and getattr(cfg, "save_preds", False):
-                # prediction pickles for downstream eval (trainer.py:844-853)
+                # prediction pickles for downstream eval (trainer.py:844-853):
+                # the panoptic [sem, inst] stack AND its confidence companion
                 import pickle
                 pp = os.path.join(media_dir, "panoptic")
+                cp = os.path.join(media_dir, "inst_conf")
                 os.makedirs(pp, exist_ok=True)
+                os.makedirs(cp, exist_ok=True)
                 with open(os.path.join(pp, f"{i}.pkl"), "wb") as f:
                     pickle.dump(np.stack([sem_map, inst_map]).astype(np.uint8), f)
+                with open(os.path.join(cp, f"{i}.pkl"), "wb") as f:
+                    pickle.dump(inst_conf.astype(np.float32), f)
             labeled = not np.all(sem_gts == -1) and not np.all(inst_gts == -1)
             if labeled:
                 have_labels = True
@@ -187,7 +203,10 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
     if media_dir:
         os.makedirs(media_dir, exist_ok=True)
         every = max(getattr(cfg, "num_val_frames_to_save", 1), 1)
-        save_idxs = set(range(0, num_imgs, every))
+        # reference semantics (trainer.py:857): a stride >= the image count
+        # means "save every frame", not "save only frame 0"
+        save_idxs = (set(range(num_imgs)) if every >= num_imgs
+                     else set(range(0, num_imgs, every)))
         if getattr(cfg, "render_val_labels", True):
             save_idxs |= labeled_idxs
         for i in sorted(save_idxs):
@@ -207,25 +226,35 @@ def evaluate_metrics(trainer, epoch: int, data: Dict, name: str = "",
                     ig = np.asarray(data["instance"][i]).reshape(h, w)
                     write_png(os.path.join(media_dir, f"{i}_inst_gt.png"), label2rgb(
                         ig, colormap=label_colormap(int(ig.max()) + 2)))
-        for name, fl in frames.items():
+        for ch_name, fl in frames.items():
             if fl:
-                write_video(os.path.join(media_dir, f"{name}.mp4"), fl)
+                write_video(os.path.join(media_dir, f"{ch_name}.mp4"), fl)
 
     metrics = {"val/psnr": psnr.compute(),
                "val/render_time_per_img": render_time / max(num_imgs, 1)}
     if use_sem:
         metrics["val/iou"] = iou.compute()
-        metrics["val/iou_pred"] = iou_pred.compute()
-        metrics["val/iou_gain"] = metrics["val/iou"] - metrics["val/iou_pred"]
+        # _pred baselines/gains ONLY when the dataset carries 2-D predictions —
+        # a vacuous iou_pred of 0.0 would report the raw metric as a "gain"
+        # over a baseline that does not exist
+        if have_sem_pred:
+            metrics["val/iou_pred"] = iou_pred.compute()
+            metrics["val/iou_gain"] = metrics["val/iou"] - metrics["val/iou_pred"]
     if use_inst and have_labels:
-        for res, suffix in ((pq.compute(), ""), (pq_pred.compute(), "_pred")):
+        pq_suffixes = [(pq.compute(), "")]
+        map_suffixes = [(mAP.compute(), "")]
+        if have_inst_pred:
+            pq_suffixes.append((pq_pred.compute(), "_pred"))
+            map_suffixes.append((mAP_pred.compute(), "_pred"))
+        for res, suffix in pq_suffixes:
             for group, vals in res.items():
                 for k, v in vals.items():
                     if k != "n":
                         metrics[f"val/{k}_{group}{suffix}"] = v
-        metrics["val/pq_things_gain"] = (metrics.get("val/pq_things", 0.0)
-                                         - metrics.get("val/pq_things_pred", 0.0))
-        for res, suffix in ((mAP.compute(), ""), (mAP_pred.compute(), "_pred")):
+        if have_inst_pred:
+            metrics["val/pq_things_gain"] = (metrics.get("val/pq_things", 0.0)
+                                             - metrics.get("val/pq_things_pred", 0.0))
+        for res, suffix in map_suffixes:
             for k, v in res.items():
                 metrics[f"val/{k}{suffix}"] = v
 
@@ -246,16 +275,24 @@ def append_metrics_csv(path: str, row: Dict):
         with open(path, newline="") as f:
             reader = csv.DictReader(f)
             old_fields = list(reader.fieldnames or [])
-            old_rows = list(reader)
+            old_rows = None if set(row) <= set(old_fields) else list(reader)
     else:
         old_fields, old_rows = [], []
+    if old_fields and old_rows is None:
+        # columns unchanged: plain append — never truncate-rewrite the history
+        # of a long run that a mid-write crash (axon tunnel death) would erase
+        with open(path, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=old_fields, restval="").writerow(row)
+        return
     fields = old_fields + sorted(k for k in row.keys() if k not in old_fields)
-    with open(path, "w", newline="") as f:
+    tmp = f"{path}.tmp"     # header changed: rewrite atomically (tmp + rename)
+    with open(tmp, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields, restval="")
         writer.writeheader()
-        for r in old_rows:
+        for r in old_rows or []:
             writer.writerow(r)
         writer.writerow(row)
+    os.replace(tmp, path)
 
 
 def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None,

@@ -90,9 +90,15 @@ def clean_instance_map(instances: np.ndarray, num_dilations: int = 1,
     (reference trainer.py:750-772). Returns (cleaned id map, per-instance masks
     [K, H, W], mask ids [K])."""
     mask_ids = np.unique(instances)
-    if mask_ids.shape[0] <= 1:
-        return instances, np.zeros((0,) + instances.shape, instances.dtype), mask_ids
-    fg_ids = mask_ids[1:]
+    # Background is id 0 EXPLICITLY (the decode contract: stuff -> 0), not
+    # "the lowest id present" — the reference's mask_ids[1:] silently treats a
+    # real instance as background on frames with no background pixels at all,
+    # excluding it from mAP and smearing its id over uncovered pixels
+    # (documented deviation from trainer.py:753-772; identical whenever a 0
+    # pixel exists, which is every committed run).
+    fg_ids = mask_ids[mask_ids != 0]
+    if fg_ids.shape[0] == 0:
+        return instances, np.zeros((0,) + instances.shape, instances.dtype), fg_ids
     masks = (instances[None] == fg_ids[:, None, None]).astype(instances.dtype)
     if num_dilations > 0:
         masks = _binary_open(masks, num_dilations)
@@ -102,5 +108,6 @@ def clean_instance_map(instances: np.ndarray, num_dilations: int = 1,
     masks[small] = 0
     stacked = np.concatenate([(masks.sum(0) == 0)[None].astype(instances.dtype),
                               masks])
-    cleaned = mask_ids[np.argmax(stacked, axis=0)]
+    row_ids = np.concatenate([[0], fg_ids]).astype(instances.dtype)
+    cleaned = row_ids[np.argmax(stacked, axis=0)]
     return cleaned, masks, fg_ids

@@ -163,3 +163,38 @@ def test_perf_flag_activates_trainer_timer():
     assert tr.timer.activate is True
     _, _, tr = get_modules_from_config(parse_options(shrink))
     assert tr.timer.activate is False
+
+
+def test_clean_instance_map_no_background_frame():
+    """A frame with NO background pixels must keep every instance as
+    foreground — id 0 is background by the decode contract, not 'the lowest
+    id present' (documented deviation from reference trainer.py:753)."""
+    from pagnerf_tpu.utils.postprocess import clean_instance_map
+
+    inst = np.zeros((20, 20), np.int32)
+    inst[:, :10] = 1          # two instances tile the whole frame
+    inst[:, 10:] = 3
+    cleaned, masks, fg_ids = clean_instance_map(
+        inst, num_dilations=0, outlier_rejection=False, min_mask_px=1)
+    assert fg_ids.tolist() == [1, 3]
+    assert masks.shape[0] == 2
+    np.testing.assert_array_equal(cleaned, inst)   # nothing treated as bg
+
+
+def test_append_metrics_csv_appends_without_rewrite(tmp_path):
+    """Same-column rows append in place (a crash mid-validation must not be
+    able to erase the whole history); new columns rewrite atomically."""
+    import csv
+
+    from pagnerf_tpu.train.validation import append_metrics_csv
+
+    p = str(tmp_path / "metrics.csv")
+    append_metrics_csv(p, {"epoch": 1, "val/psnr": 10.0})
+    ino = os.stat(p).st_ino
+    append_metrics_csv(p, {"epoch": 2, "val/psnr": 11.0})
+    assert os.stat(p).st_ino == ino        # appended, not rewritten
+    append_metrics_csv(p, {"epoch": 3, "val/psnr": 12.0, "val/iou": 0.5})
+    with open(p, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["1", "2", "3"]
+    assert rows[0]["val/iou"] == "" and rows[2]["val/iou"] == "0.5"
