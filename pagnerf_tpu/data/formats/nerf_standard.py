@@ -30,28 +30,46 @@ def _load_image(path: str, mip: int = 0) -> np.ndarray:
 def load_nerf_standard(root: str, split: str = "train", mip: int = 0,
                        bg_color: str = "white", num_workers: int = 8) -> Dict:
     root = Path(root).expanduser()
-    tforms = None
-    for cand in (f"transforms_{split}.json", "transforms.json"):
-        if (root / cand).exists():
-            tforms = root / cand
-            break
-    if tforms is None:
+    # When the dataset ships explicit train/val splits, load BOTH and expose
+    # train_idxs/val_idxs: otherwise MultiviewDataset's even/odd interleave
+    # would silently withhold half the train frames as val and never touch
+    # the real val split.
+    tf_split = root / f"transforms_{split}.json"
+    tf_val = root / "transforms_val.json"
+    if tf_split.exists() and split == "train" and tf_val.exists():
+        tform_files = [(tf_split, "train"), (tf_val, "val")]
+    elif tf_split.exists():
+        tform_files = [(tf_split, split)]
+    elif (root / "transforms.json").exists():
+        tform_files = [(root / "transforms.json", split)]
+    else:
         raise FileNotFoundError(f"no transforms json under {root}")
-    with open(tforms) as f:
-        meta = json.load(f)
 
     # resolve frame paths first, then decode images in parallel (the reference
     # uses a multiprocessing pool, nerf_standard.py:142-162; threads suffice here
     # since PIL decode/resize release the GIL, and they avoid fork-vs-JAX hazards)
-    paths, poses = [], []
-    for frame in meta["frames"]:
-        fp = root / frame["file_path"]
-        if not fp.suffix:
-            fp = fp.with_suffix(".png")
-        if not fp.exists():
-            continue
-        paths.append(str(fp))
-        poses.append(np.asarray(frame["transform_matrix"], np.float32))
+    paths, poses, tags, meta = [], [], [], None
+    for tforms, tag in tform_files:
+        with open(tforms) as f:
+            m = json.load(f)
+        if meta is None:
+            meta = m            # intrinsics come from the primary split
+        # instant-ngp pose normalisation (reference nerf_standard.py:229-236):
+        # translations /= aabb_scale (default 1.25), *= scale, += offset
+        offset = np.asarray(m.get("offset", [0.0, 0.0, 0.0]), np.float32)
+        pscale = float(m.get("scale", 1.0))
+        aabb_scale = float(m.get("aabb_scale", 1.25))
+        for frame in m["frames"]:
+            fp = root / frame["file_path"]
+            if not fp.suffix:
+                fp = fp.with_suffix(".png")
+            if not fp.exists():
+                continue
+            pose = np.asarray(frame["transform_matrix"], np.float32)
+            pose[:3, 3] = pose[:3, 3] / aabb_scale * pscale + offset
+            paths.append(str(fp))
+            poses.append(pose)
+            tags.append(tag)
     if len(paths) > 1 and num_workers > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(min(num_workers, len(paths))) as pool:
@@ -99,7 +117,7 @@ def load_nerf_standard(root: str, split: str = "train", mip: int = 0,
     wo, wd = inv_transform_rays(params, bo, bd)
     wd = wd / (jnp.linalg.norm(wd, axis=-1, keepdims=True) + 1e-12)
 
-    return {
+    out = {
         "imgs": rgb.astype(np.float32),
         "rays_origins": np.asarray(wo).reshape(n, h, w, 3),
         "rays_dirs": np.asarray(wd).reshape(n, h, w, 3),
@@ -111,3 +129,8 @@ def load_nerf_standard(root: str, split: str = "train", mip: int = 0,
         "semantic_info": {"num_classes": 2, "num_instances": 2,
                           "stuff_ids": [0], "things_ids": [1]},
     }
+    tags_arr = np.asarray(tags)
+    if (tags_arr == "val").any():
+        out["train_idxs"] = np.nonzero(tags_arr == "train")[0]
+        out["val_idxs"] = np.nonzero(tags_arr == "val")[0]
+    return out

@@ -98,10 +98,6 @@ class MultiviewDataset:
     def steps_per_epoch(self, batch_size: int) -> int:
         return max(1, int(np.ceil(self.num_train / batch_size)))
 
-    def _flat(self, mode: str, img_idx: np.ndarray) -> np.ndarray:
-        arr = self.data[mode][img_idx]
-        return arr.reshape(arr.shape[0], self.num_pixels, *arr.shape[3:])
-
     def sample_batch(self, rng: np.random.Generator, batch_size: int,
                      num_rays: int, split: str = "train",
                      modes: Optional[List[str]] = None) -> Dict[str, np.ndarray]:

@@ -55,7 +55,16 @@ def available() -> bool:
 
 def sample_ray_indices(batch: int, num_rays: int, num_pixels: int,
                        seed: int) -> np.ndarray:
-    """[batch, num_rays] distinct pixel indices per image."""
+    """[batch, num_rays] pixel indices per image — distinct while the pool
+    allows; WITH replacement when num_rays exceeds the pool (shapes must stay
+    static for jit; the reference's randperm[:num_rays] would go ragged).
+    The replacement path also sidesteps the native sampler, whose Fisher-Yates
+    mod (batcher.cpp:38) divides by zero — a process-killing SIGFPE — when the
+    pool is exhausted."""
+    if num_rays > num_pixels:
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, num_pixels,
+                            (batch, num_rays)).astype(np.int64)
     lib = _load()
     if lib is None:
         rng = np.random.default_rng(seed)

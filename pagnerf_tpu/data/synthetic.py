@@ -75,8 +75,13 @@ def _render_analytic(scene: SphereScene, origins: np.ndarray, dirs: np.ndarray,
         safe = np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
         ta = (0.9 - origins) / safe
         tb = (-0.9 - origins) / safe
+        t_enter = np.minimum(ta, tb).max(axis=1)
         t_exit = np.minimum(np.maximum(ta, tb).min(axis=1), 1e9)
-        ok = t_exit > 0
+        # a ray MISSES the box when entry > exit; painting those corner rays
+        # with a phantom wall sample would be multiview-INCONSISTENT GT (each
+        # view sees a different off-surface point — the exact supervision
+        # hazard this module exists to avoid). Missed rays keep the white bg.
+        ok = (t_enter <= t_exit) & (t_exit > 0)
         p = origins + dirs * t_exit[:, None]
         # Smooth (band-limited) wall texture. A hard floor()-checker point-sampled
         # at pixel centres aliases with a different phase in every view, making the
@@ -293,7 +298,11 @@ def make_dataset(num_views: int = 8, width: int = 40, height: int = 30,
         world_o.append(o.reshape(height, width, 3))
         world_d.append(d.reshape(height, width, 3))
         noisy = c2w.copy()
-        if pose_noise > 0:
+        # TRAIN poses only (even idxs — MultiviewDataset interleave), keeping
+        # the BA anchor frame 0 clean, like the reference (bup20.py:123-130:
+        # split=='train' and i>0). Noising val poses would misalign BA-mode
+        # validation renders against GT rendered from the true poses.
+        if pose_noise > 0 and i > 0 and i % 2 == 0:
             noisy[:3, 3] += rng.normal(0, pose_noise, 3)
         views.append(view_from_c2w(noisy))
 

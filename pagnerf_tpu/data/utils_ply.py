@@ -55,9 +55,10 @@ def read_ply_vertex_bounds(path) -> Tuple[np.ndarray, np.ndarray]:
                 names.append(name)
                 o += type_size[t]
             raw = f.read(n_verts * stride)
+            endian = ">" if "big_endian" in fmt else "<"
             def col(name):
                 i = names.index(name)
-                dt = "<f4" if type_size[props[i][0]] == 4 else "<f8"
+                dt = f"{endian}f4" if type_size[props[i][0]] == 4 else f"{endian}f8"
                 return np.frombuffer(raw, dtype=np.uint8).reshape(n_verts, stride)[
                     :, offs[i]:offs[i] + type_size[props[i][0]]].copy().view(dt)[:, 0]
             arr = np.stack([col("x"), col("y"), col("z")], -1).astype(np.float64)
@@ -75,12 +76,14 @@ def get_scale_from_ply_mesh(path, model_rescaling: str = "snap_to_bottom"
     center = (lo + hi) / 2.0
     extent = hi - lo
     if model_rescaling == "largest":
-        scale = 2.0 / max(extent.max(), 1e-9)
+        # largest XYZ bound, shrunk 2% (reference datasets/utils.py:17-19)
+        scale = 0.98 * 2.0 / max(extent.max(), 1e-9)
         offset = (-center * scale).tolist()
     elif model_rescaling == "scale_to_fit":
         scale = 2.0 / max(np.linalg.norm(extent), 1e-9)
         offset = (-center * scale).tolist()
-    else:  # snap_to_bottom: centre x/y, floor at z = -1
-        scale = 2.0 / max(extent.max(), 1e-9)
+    else:  # snap_to_bottom: scale by the largest XY bound (NOT Z —
+        # reference utils.py:23), centre x/y, floor at z = -1
+        scale = 2.0 / max(extent[:2].max(), 1e-9)
         offset = [-center[0] * scale, -center[1] * scale, -lo[2] * scale - 1.0]
     return scale, offset

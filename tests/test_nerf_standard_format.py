@@ -71,3 +71,56 @@ def test_identity_pose_rays_look_down_minus_z(nerf_root):
     d = data["rays_dirs"][0].reshape(H, W, 3)[H // 2, W // 2]
     assert d[2] < -0.9
     np.testing.assert_allclose(data["rays_origins"][0, 0, 0], [0, 0, 0], atol=1e-5)
+
+
+def test_pose_normalisation_aabb_scale_and_offset(nerf_root, tmp_path):
+    """Reference nerf_standard.py:229-236: translations /= aabb_scale
+    (default 1.25), *= scale, += offset."""
+    from pagnerf_tpu.data.formats.nerf_standard import load_nerf_standard
+    data = load_nerf_standard(str(nerf_root), split="train")
+    # default aabb_scale = 1.25: frame i's x translation 0.1*i / 1.25
+    # view_matrices are w2c: camera position = -R^T t = c2w translation
+    cam_x = [-data["view_matrices"][i][0, 3] for i in range(3)]
+    np.testing.assert_allclose(cam_x, [0.0, 0.08, 0.16], atol=1e-5)
+
+    from PIL import Image
+    Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(tmp_path / "g.png")
+    c2w = np.eye(4); c2w[:3, 3] = [1.0, 2.0, 3.0]
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump({"camera_angle_x": 0.8, "scale": 0.5, "offset": [1, 0, 0],
+                   "aabb_scale": 2.0,
+                   "frames": [{"file_path": "g",
+                               "transform_matrix": c2w.tolist()}]}, f)
+    d2 = load_nerf_standard(str(tmp_path))
+    np.testing.assert_allclose(-d2["view_matrices"][0][:3, 3],
+                               np.array([1.0, 2.0, 3.0]) / 2.0 * 0.5 + [1, 0, 0],
+                               atol=1e-5)
+
+
+def test_explicit_val_split_loaded(tmp_path):
+    """With transforms_train.json + transforms_val.json, BOTH splits load and
+    train_idxs/val_idxs are exposed — the even/odd interleave must not
+    withhold half the train frames."""
+    from PIL import Image
+    from pagnerf_tpu.data.formats.nerf_standard import load_nerf_standard
+    from pagnerf_tpu.data.multiview import MultiviewDataset
+
+    def write_split(name, n, off):
+        frames = []
+        for i in range(n):
+            Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(
+                tmp_path / f"{name}_{i}.png")
+            c2w = np.eye(4); c2w[0, 3] = off + i
+            frames.append({"file_path": f"{name}_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(tmp_path / f"transforms_{name}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+    write_split("train", 4, 0.0)
+    write_split("val", 2, 100.0)
+    data = load_nerf_standard(str(tmp_path), split="train")
+    assert data["imgs"].shape[0] == 6
+    assert data["train_idxs"].tolist() == [0, 1, 2, 3]
+    assert data["val_idxs"].tolist() == [4, 5]
+    ds = MultiviewDataset(data)
+    assert ds.train_idxs.tolist() == [0, 1, 2, 3]   # all 4 train frames train

@@ -150,3 +150,31 @@ def test_semantic_gated_instance_decode():
     things_px = ~np.isin(sem_map, stuff_ids)
     inst = np.where(things_px, 1 + np.argmax(e[:, 1:], -1), 0)
     assert inst[0] == 1
+
+
+def test_backdrop_miss_rays_keep_white_background():
+    """Rays that miss the backdrop box must NOT be painted with a phantom
+    wall sample (entry > exit): such samples lie on no surface and differ per
+    view — multiview-inconsistent GT (CLAUDE.md rule 10)."""
+    import numpy as np
+
+    from pagnerf_tpu.data.synthetic import _render_analytic, default_scene
+
+    scene = default_scene(1, seed=0)
+    # ray from outside aimed AWAY from the box: slab entry > exit
+    o = np.array([[2.0, 2.0, 2.0]], np.float32)
+    d = np.array([[1.0, 0.0, 0.0]], np.float32)
+    d /= np.linalg.norm(d)
+    rgb, sem, inst, depth = _render_analytic(scene, o, d)
+    np.testing.assert_allclose(rgb[0], [1.0, 1.0, 1.0])   # untouched white bg
+    assert depth[0] == 0.0      # miss convention: depth 0 (synthetic.py:114)
+
+
+def test_sample_ray_indices_pool_smaller_than_rays():
+    """num_rays > pixel pool: sample WITH replacement instead of SIGFPE-ing
+    the process in the native Fisher-Yates (batcher.cpp:38 mod-by-zero)."""
+    from pagnerf_tpu.data import native
+
+    out = native.sample_ray_indices(2, 50, 10, seed=7)
+    assert out.shape == (2, 50)
+    assert (out >= 0).all() and (out < 10).all()
