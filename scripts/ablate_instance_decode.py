@@ -9,9 +9,16 @@ checkpoint and scores PQ/SQ/RQ + mAP under each decode variant, so the chain's
 contribution is measured instead of guessed.
 
 Usage:
-    python scripts/ablate_instance_decode.py <run_dir> [--split val]
+    python scripts/ablate_instance_decode.py <run_dir> [--split val] [--res W H]
 where <run_dir> contains the run's config.yaml snapshot and model.ckpt.
 Writes <run_dir>/ablate_decode.json and prints a table.
+
+``--res W H`` re-renders the validation views at a different resolution than
+the run trained at (the synthetic scene regenerates ground truth at any
+resolution; focal scales with width so the frustum is identical). The round-3
+instance-floor diagnosis bounded PQ-things by rendering sharpness (SQ-things
+0.82 at 96x72, where the smallest spheres are ~13 px) — this flag measures
+that claim directly on the SAME checkpoint. Writes ablate_decode_{W}x{H}.json.
 """
 from __future__ import annotations
 
@@ -30,6 +37,10 @@ def main(argv=None):
     p.add_argument("run_dir")
     p.add_argument("--split", default="val")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--res", type=int, nargs=2, default=None,
+                   metavar=("W", "H"),
+                   help="re-render validation at this resolution instead of "
+                        "the run's synthetic_res (synthetic scenes only)")
     ns = p.parse_args(argv)
 
     from pagnerf_tpu.utils.compile_cache import enable_persistent_cache
@@ -46,6 +57,11 @@ def main(argv=None):
     cfg_path = os.path.join(ns.run_dir, "config.yaml")
     ckpt_path = ns.ckpt or os.path.join(ns.run_dir, "model.ckpt")
     args = parse_options(["--config", cfg_path, "--valid-only"])
+    if ns.res is not None:
+        if args.multiview_dataset_format not in ("synthetic",):
+            p.error("--res only applies to synthetic scenes (GT is "
+                    "regenerated at the requested resolution)")
+        args.synthetic_res = list(ns.res)
     _, dataset, trainer = get_modules_from_config(args)
     checkpoint.load_checkpoint(ckpt_path, trainer, "full")
     cfg = trainer.cfg
@@ -67,12 +83,17 @@ def main(argv=None):
         cam_idx = int(data["cam_idx"][i]) if use_base else None
         rb = trainer.batch_render(rays, {"rgb", "semantics", "inst_embedding"},
                                   cam_idx=cam_idx)
+        rgb_gt = np.asarray(data["imgs"][i]).reshape(h, w, -1)
+        mse = float(np.mean((np.asarray(rb.rgb).reshape(h, w, -1)
+                             - rgb_gt) ** 2))
         views.append({
             "sem_map": np.argmax(np.asarray(rb.semantics), -1).reshape(h, w),
             "e": np.asarray(rb.inst_embedding),
-            "sem_gts": sem_gts, "inst_gts": inst_gts,
+            "sem_gts": sem_gts, "inst_gts": inst_gts, "mse": mse,
         })
-    print(f"# {len(views)} labeled {ns.split} views rendered", flush=True)
+    psnr = -10.0 * np.log10(np.mean([v["mse"] for v in views]))
+    print(f"# {len(views)} labeled {ns.split} views rendered at {w}x{h}; "
+          f"pooled PSNR {psnr:.2f} dB", flush=True)
 
     def decode(v, gated: bool):
         # the production decode (shared with train/validation.py)
@@ -117,7 +138,12 @@ def main(argv=None):
               f"rq_things={row['rq_things']:.3f} sq_things={row['sq_things']:.3f} "
               f"map={row['map']:.3f} map_50={row['map_50']:.3f}", flush=True)
 
-    out = os.path.join(ns.run_dir, "ablate_decode.json")
+    results["_meta"] = {"res": [int(w), int(h)], "split": ns.split,
+                        "psnr": round(float(psnr), 3),
+                        "n_views": len(views)}
+    name = ("ablate_decode.json" if ns.res is None
+            else f"ablate_decode_{w}x{h}.json")
+    out = os.path.join(ns.run_dir, name)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"# wrote {out}", flush=True)
