@@ -96,3 +96,19 @@ def test_factory_builds_synthetic_stack():
     assert isinstance(pipeline, BAPipeline)
     assert trainer.cfg.epochs == 1
     assert pipeline.tracer_cfg.num_steps == 8
+
+
+def test_load_dataset_honors_synthetic_res_override():
+    # scripts/ablate_instance_decode.py --res re-renders a checkpoint's
+    # validation views at a different resolution by overriding synthetic_res
+    # post-parse; the factory must honor it, and the focal must scale with
+    # width (constant FOV) so the frustum is unchanged (data/synthetic.py:271).
+    from pagnerf_tpu.config.factory import load_dataset
+    args = parse_options(["--multiview-dataset-format", "synthetic",
+                          "--synthetic-num-views", "4"])
+    args.synthetic_res = [80, 60]
+    ds = load_dataset(args)
+    data = ds.get_images(split="val", mip=0)
+    assert data["imgs"].shape[1:3] == (60, 80)
+    intr = ds.data["intrinsics"]
+    assert float(intr.fx) == pytest.approx(0.9 * 80)
