@@ -52,15 +52,6 @@ def _elevation_matrix() -> np.ndarray:
 _E = _elevation_matrix()  # [4, 3]
 
 
-def _hash_keys(keys: jnp.ndarray, log2_capacity: int) -> jnp.ndarray:
-    """XOR-prime hash of integer lattice keys [..., 3] -> table indices."""
-    k = keys.astype(jnp.uint32)
-    h = k[..., 0] * jnp.uint32(_PRIMES[0])
-    h = h ^ (k[..., 1] * jnp.uint32(_PRIMES[1]))
-    h = h ^ (k[..., 2] * jnp.uint32(_PRIMES[2]))
-    return (h & jnp.uint32((1 << log2_capacity) - 1)).astype(jnp.int32)
-
-
 def _hash_keys_T(keys: jnp.ndarray, log2_capacity: int) -> jnp.ndarray:
     """Feature-major hash: keys [V, 3, N] -> indices [V, N]."""
     k = keys.astype(jnp.uint32)
@@ -325,6 +316,7 @@ def permuto_encode_dual_T(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     num_levels, capacity, feat_dim = tables_a.shape
     assert tables_b.shape == tables_a.shape, "dual encode needs same-spec tables"
     log2_c = int(np.log2(capacity))
+    assert (1 << log2_c) == capacity, "capacity must be a power of two"
     inv_scales = (1.0 / np.asarray(scales)).astype(np.float32)
     mm, dm, direct, rows_used = direct_level_specs(scales, capacity, feat_dim)
     x = coordsT.astype(jnp.float32)

@@ -31,6 +31,10 @@ def _packed_rows(table: jnp.ndarray) -> jnp.ndarray:
     """[C, F] -> [C*F/128, 128] row-major repack (layout-free reshape)."""
     c, f = table.shape
     assert (c * f) % LANES == 0, "table entries*features must fill 128-lane rows"
+    # The entries-per-row lane math ((idx % epr) * f) requires every entry to
+    # live wholly inside one packed row: f must divide 128, or an entry whose
+    # flat offset spans a row boundary silently reads the wrong lanes.
+    assert LANES % f == 0, f"feature_dim {f} must divide {LANES}"
     return table.reshape((c * f) // LANES, LANES)
 
 
@@ -133,14 +137,20 @@ def _probe_pallas_gather(rows: int, f: int, v: int) -> bool:
 
 def _use_pallas(tables: jnp.ndarray, idx: jnp.ndarray) -> bool:
     """Use the fused Pallas gather kernel when on TPU, the packed-row count
-    satisfies the hardware gather's shape contract, and a one-shot compile probe
-    confirms the toolchain lowers ``tpu.dynamic_gather`` at this shape.
+    satisfies the hardware gather's shape contract, and (in probe mode) a
+    one-shot compile probe confirms the toolchain lowers ``tpu.dynamic_gather``
+    at this shape.
 
-    PAGNERF_PALLAS_GATHER=0 disables (skips probing), =1 forces on, unset/auto
-    probes once per shape per process."""
+    Default OFF (CLAUDE.md rule 5): the probe itself is a remote compile of an
+    op known to crash the axon compile helper beyond one tile, and the service
+    is fragile enough (multi-minute stalls, outright outages — PERFORMANCE.md)
+    that a speculative compile at the start of every fresh training process is
+    a poor trade for a lever that needs a toolchain fix anyway.
+    PAGNERF_PALLAS_GATHER=1 forces on, =probe compiles once per shape per
+    process and turns on iff the toolchain accepts it."""
     import os
-    mode = os.environ.get("PAGNERF_PALLAS_GATHER", "auto")
-    if mode == "0":
+    mode = os.environ.get("PAGNERF_PALLAS_GATHER", "0")
+    if mode not in ("1", "probe", "auto"):
         return False
     try:
         platform = jax.devices()[0].platform
@@ -214,7 +224,7 @@ def _ml_fwd(rows_used, tables, idx, bary):
     return out, (feats, jax.ShapeDtypeStruct(tables.shape, tables.dtype), idx, bary)
 
 
-def _use_mxu_scatter(c: int, f: int) -> bool:
+def _use_mxu_scatter(c: int, f: int, dual: bool = False) -> bool:
     """MXU scatter for the table gradients — default ON for TPU (opt out with
     PAGNERF_MXU_SCATTER=0): the one-hot-matmul kernel (ops/pallas_scatter.py)
     takes the flagship train step from 349.5 to 539.9 rays/s (1.54x) with an
@@ -227,10 +237,15 @@ def _use_mxu_scatter(c: int, f: int) -> bool:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    # whole packed table + a chunk's one-hot must fit VMEM (~16 MB)
+    # whole packed table + a chunk's one-hot must fit VMEM (~16 MB). The dual
+    # kernel accumulates both grids' gradients ([R, 256] f32 vs [R, 128]) but
+    # runs 768-event chunks (vs 1024) — model each kernel's actual footprint
+    # (flagship c=2^18/f=2: single 11.0 MB, dual 10.9 MB, both deployed).
     rows = (c * f) // LANES
+    chunk = 768 if dual else 1024
+    acc_lanes = 2 * LANES if dual else LANES
     return (platform == "tpu" and (c * f) % LANES == 0
-            and rows * LANES * 4 + 1024 * (rows * 2 + 512) < 12 * 2 ** 20)
+            and rows * acc_lanes * 4 + chunk * (rows * 2 + 512) < 12 * 2 ** 20)
 
 
 def _split_levels(rows_used, rows_full):
@@ -333,6 +348,9 @@ def _gather_feats_dual(ta: jnp.ndarray, tb: jnp.ndarray, idx: jnp.ndarray):
     both = _gather_feats(jnp.concatenate([ta, tb], axis=1), idx)  # [V, 2F, N]
     return both[:, :f], both[:, f:]
 
+_DUAL_PALLAS_WARNED: list = []
+
+
 def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
                                  idx: jnp.ndarray, bary: jnp.ndarray,
                                  rows_used=None):
@@ -353,6 +371,15 @@ def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     Returns (out_a, out_b), each [L, F, N]. ``rows_used``: see
     multilevel_table_gather.
     """
+    import os
+    if os.environ.get("PAGNERF_PALLAS_GATHER", "0") in ("1", "probe", "auto") \
+            and not _DUAL_PALLAS_WARNED:
+        _DUAL_PALLAS_WARNED.append(True)
+        import logging
+        logging.getLogger(__name__).warning(
+            "PAGNERF_PALLAS_GATHER is set but the dual-table (delta-grid) "
+            "gather has no fused Pallas variant yet — the flagship panoptic "
+            "path stays on XLA row gathers")
     l = tables_a.shape[0]
     ru = tuple(int(r) for r in rows_used) if rows_used is not None else (0,) * l
     return _dual_mtg(ru, tables_a, tables_b, idx, bary)
@@ -389,7 +416,7 @@ def _dual_bwd(rows_used, res, g):
     feats_a, spec_a, spec_b, idx, bary = res
     g_a, g_b = g                                          # each [L, F, N]
     l, c, f = spec_a.shape
-    if _use_mxu_scatter(c, f):
+    if _use_mxu_scatter(c, f, dual=True):
         from .pallas_scatter import table_grad_matmul_dual_T
         rows_full = (c * f) // LANES
         k = _split_levels(rows_used, rows_full)

@@ -105,7 +105,7 @@ def test_mxu_scan_path_matches_xla_in_interpret_mode(monkeypatch):
     from pagnerf_tpu.ops import pallas_scatter, table_gather
     from pagnerf_tpu.ops.table_gather import dual_multilevel_table_gather
 
-    monkeypatch.setattr(table_gather, "_use_mxu_scatter", lambda c, f: True)
+    monkeypatch.setattr(table_gather, "_use_mxu_scatter", lambda c, f, dual=False: True)
     monkeypatch.setattr(
         table_gather, "_split_levels", lambda rows_used, rows_full: 0)
     for name in ("table_grad_matmul_T", "table_grad_matmul_dual_T"):
@@ -133,7 +133,7 @@ def test_mxu_scan_path_matches_xla_in_interpret_mode(monkeypatch):
     g_mxu = jax.grad(loss_single, argnums=(0, 1))(ta, bary)
     gd_mxu = jax.grad(loss_dual, argnums=(0, 1, 2))(ta, tb, bary)
 
-    monkeypatch.setattr(table_gather, "_use_mxu_scatter", lambda c, f: False)
+    monkeypatch.setattr(table_gather, "_use_mxu_scatter", lambda c, f, dual=False: False)
     g_xla = jax.grad(loss_single, argnums=(0, 1))(ta, bary)
     gd_xla = jax.grad(loss_dual, argnums=(0, 1, 2))(ta, tb, bary)
 
@@ -163,3 +163,15 @@ def test_dual_interleaved_gather_exact():
                                       np.asarray(_gather_feats(ta, idx)))
         np.testing.assert_array_equal(np.asarray(fb),
                                       np.asarray(_gather_feats(tb, idx)))
+
+
+def test_rejects_feature_dim_not_dividing_lanes():
+    """f must divide 128: an entry whose flat offset spans a packed-row
+    boundary silently reads the wrong lanes (confirmed: table [384, 3], entry
+    43 returned entry 43.67's bytes). The pack must fail fast instead."""
+    import pytest
+    table = jnp.zeros((384, 3))   # c*f = 1152 fills lanes, but 3 ∤ 128
+    idx = jnp.zeros((4, 8), jnp.int32)
+    bary = jnp.ones((4, 8))
+    with pytest.raises(AssertionError, match="must divide"):
+        table_gather_weighted(table, idx, bary)
