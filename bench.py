@@ -117,10 +117,14 @@ def main():
         while len(durs) < iters:
             losses = trainer.train_step(stage, batch)
             jax.block_until_ready(trainer.params)
+            # HOST READ before taking the time: on axon block_until_ready can
+            # return early (CLAUDE.md rule 6), and a dispatch-only first dur
+            # would anchor the stall filter and discard every real step.
+            rgb = float(losses.get("rgb_loss", 0.0))
             durs.append(time.perf_counter() - t0 - sum(durs))
             note(f"{label} step {len(durs)}: cumulative "
                  f"{time.perf_counter() - t0:.1f}s "
-                 f"rgb_loss {float(losses.get('rgb_loss', 0.0)):.5f}")
+                 f"rgb_loss {rgb:.5f}")
             if time.perf_counter() - start > budget and durs:
                 break
         # stall filter anchored to the FASTEST step (legit steps cluster within
@@ -182,12 +186,18 @@ def main():
         # regimes differ in — and keeps the loss genuinely evolving.
         from pagnerf_tpu.ops.occupancy import OccupancyGrid
         dens = np.asarray(trainer.occ.occupancy)
-        thr = float(np.quantile(dens, 1.0 - keep_frac))
+        # top-k selection, NOT a quantile threshold: a degenerate plateau field
+        # (every density at MIN_DENSITY — the case that triggers this fallback)
+        # ties at the quantile and `>= thr` would keep ~100% of cells, zeroing
+        # the compaction budget and failing the post-prune stage assert.
+        k = max(1, int(round(keep_frac * dens.size)))
+        mask = np.zeros(dens.shape, dtype=bool)
+        mask.reshape(-1)[np.argpartition(dens.reshape(-1), -k)[-k:]] = True
         trainer.occ = OccupancyGrid(occupancy=trainer.occ.occupancy,
-                                    mask=jnp.asarray(dens >= thr),
+                                    mask=jnp.asarray(mask),
                                     level=trainer.occ.level)
         trainer._occ_frac = frac = float(trainer.occ.mask.mean())
-        note(f"{label}: forced occupancy {100 * frac:.1f}% (thr={thr:.3f})")
+        note(f"{label}: forced occupancy {100 * frac:.1f}% (top-{k} cells)")
         return frac
 
     start = time.perf_counter()

@@ -7,9 +7,10 @@ Architecture: all epoch-dependent behaviour (channel sets, loss gating, raymarch
 switch, val-pose-only epochs — reference trainer.py:302-327,362-366,400-432) is folded
 into a hashable ``StageConfig``. The train step is jitted once per distinct stage
 (a handful across an 800-epoch run) and is otherwise a single fused XLA program:
-pose transform -> raymarch -> NeF -> compositing -> losses -> grads -> Adam. The only
-host round-trip in the hot path is the tiny Hungarian solve (pure_callback), exactly
-where the reference also leaves the GPU (scipy on CPU, SURVEY.md §3.1).
+pose transform -> raymarch -> NeF -> compositing -> losses -> grads -> Adam. There is
+NO host round-trip in the hot path: where the reference leaves the GPU for scipy's
+Hungarian solve (SURVEY.md §3.1), the assignment runs as a device-side auction solver
+(ops/assignment.py) — axon's PJRT runtime has no host callbacks (CLAUDE.md rule 3).
 """
 from __future__ import annotations
 
@@ -247,7 +248,17 @@ class PanopticTrainer:
             channels.add("depth")
         voxel = epoch > cfg.voxel_raymarch_epoch_start
         base = self.pipeline.tracer_cfg
-        num_steps = cfg.samples_per_voxel * 128 if voxel else base.num_steps
+        # Voxel-mode budget: samples_per_voxel per cell over the ray_max_travel
+        # span the marcher actually refits samples into (ops/raymarch.py:130-131;
+        # cell size = 2/res over the [-1,1] cube). At the defaults (travel 2.0,
+        # occ level 7) this is the 2*128=256 the reference marches; deriving it
+        # keeps the density correct when occ_level or max_travel differ.
+        if voxel:
+            travel = min(base.ray_max_travel, 2.0)
+            num_steps = max(1, int(round(
+                cfg.samples_per_voxel * travel * self.occ.res / 2.0)))
+        else:
+            num_steps = base.num_steps
         compact = 0
         if getattr(self, "_pruned", False) and cfg.compact_steps_after_prune != 0:
             if cfg.compact_steps_after_prune > 0:
@@ -400,6 +411,9 @@ class PanopticTrainer:
                 out = self.pipeline.query_nef(params, c, None, {"inst_embedding"})
                 return out["inst_embedding"]
             k2, key = jax.random.split(key)
+            # NOTE reference parity quirk: the reference's delta-grid tvl2
+            # branch ALSO calls its L1 TV loss (reference trainer.py:571-575
+            # copy-paste), so both weights intentionally feed one L1 term here.
             w = cfg.delta_grid_tvl1_reg + cfg.delta_grid_tvl2_reg
             total = total + w * grid_tv_l1_loss(
                 inst_enc, k2, sample_size=cfg.tv_window_size,
@@ -612,7 +626,7 @@ class PanopticTrainer:
     # -------------------------------------------------------------- epochs
     def should_prune(self, epoch: int) -> bool:
         cfg = self.cfg
-        return ((cfg.prune_every > -1 and epoch > 0 and epoch % cfg.prune_every == 0)
+        return ((cfg.prune_every > 0 and epoch > 0 and epoch % cfg.prune_every == 0)
                 or epoch == cfg.prune_at_epoch
                 or (cfg.prune_at_start and epoch == 0))
 
