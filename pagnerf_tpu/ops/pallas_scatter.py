@@ -28,6 +28,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+# Default event-chunk sizes (swept in round 2: 512 falls off a cliff, 768-1536
+# flat, >1024 single / >768 dual exceed VMEM). table_gather._use_mxu_scatter
+# imports these to model the kernels' VMEM footprint — keep them in sync by
+# construction, not by hand.
+EVENT_CHUNK = 1024
+EVENT_CHUNK_DUAL = 768
 
 
 def _scatter_kernel(row_ref, vals_ref, out_ref):
@@ -76,16 +82,30 @@ def _scatter_kernel_resident(row_ref, vals_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("num_rows", "row_block",
                                              "event_chunk", "interpret"))
 def scatter_rows_matmul(row: jnp.ndarray, vals: jnp.ndarray, num_rows: int,
-                        row_block: int = 512, event_chunk: int = 1024,
+                        row_block: int = 512, event_chunk: int = EVENT_CHUNK,
                         interpret: bool = False) -> jnp.ndarray:
     """sum-scatter ``vals`` [M, 128] into rows ``row`` [M] of a [num_rows, 128]
     f32 output (duplicates accumulate). Out-of-range rows (e.g. -1 padding) are
-    dropped by the one-hot construction."""
+    dropped by the one-hot construction.
+
+    LEGACY LAYOUT — test reference only. The [M]-shaped event operands reshape
+    to [M, 1] columns inside, which lane-pad 128x in HBM (CLAUDE.md rule 8);
+    production table gradients go through the lane-major ``*_T`` variants."""
     m = row.shape[0]
     assert vals.shape == (m, LANES)
+    # the resident path never tiles rows; only the grid path needs a divisor,
+    # so pick the largest sublane-aligned divisor <= row_block instead of
+    # rejecting e.g. num_rows=640 (which the resident path handles anyway)
     row_block = min(row_block, num_rows)
-    assert num_rows % row_block == 0
-    pad = (-m) % event_chunk
+    while row_block > 8 and (num_rows % row_block or row_block % 8):
+        row_block -= 8
+    if num_rows % row_block:
+        row_block = num_rows          # untiled fallback (one row block)
+    # m == 0 (zero events) must still run ONE grid step: the kernel's
+    # mc==0 branch is what zero-initialises the output buffer — a
+    # zero-size grid would return it uninitialised. The -1 pad rows are
+    # dropped by the one-hot construction, so the result is exact zeros.
+    pad = (-m) % event_chunk if m else event_chunk
     if pad:
         row = jnp.pad(row, (0, pad), constant_values=-1)
         vals = jnp.pad(vals, ((0, pad), (0, 0)))
@@ -223,7 +243,7 @@ def _table_grad_kernel_dual_T(row_ref, lane0_ref, bgT_ref, out_ref):
 def table_grad_matmul_dual_T(idx: jnp.ndarray, bary: jnp.ndarray,
                              g_a: jnp.ndarray, g_b: jnp.ndarray,
                              capacity: int, feature_dim: int,
-                             rows_used: int, event_chunk: int = 768,
+                             rows_used: int, event_chunk: int = EVENT_CHUNK_DUAL,
                              interpret: bool = False):
     """Row-bounded paired-table gradients with lane-major event streams.
 
@@ -245,7 +265,11 @@ def table_grad_matmul_dual_T(idx: jnp.ndarray, bary: jnp.ndarray,
     bgT = jnp.concatenate([bg_a, bg_b], axis=0)               # [2F, M]
 
     m = row_idx.shape[1]
-    pad = (-m) % event_chunk
+    # m == 0 (zero events) must still run ONE grid step: the kernel's
+    # mc==0 branch is what zero-initialises the output buffer — a
+    # zero-size grid would return it uninitialised. The -1 pad rows are
+    # dropped by the one-hot construction, so the result is exact zeros.
+    pad = (-m) % event_chunk if m else event_chunk
     if pad:
         row_idx = jnp.pad(row_idx, ((0, 0), (0, pad)), constant_values=-1)
         lane0 = jnp.pad(lane0, ((0, 0), (0, pad)))
@@ -314,7 +338,7 @@ def _table_grad_kernel_T(row_ref, lane0_ref, bgT_ref, out_ref):
 
 def table_grad_matmul_T(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
                         capacity: int, feature_dim: int, rows_used: int,
-                        event_chunk: int = 1024,
+                        event_chunk: int = EVENT_CHUNK,
                         interpret: bool = False) -> jnp.ndarray:
     """Row-bounded single-table gradient with lane-major event streams
     (see table_grad_matmul_dual_T)."""
@@ -329,7 +353,11 @@ def table_grad_matmul_T(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
     bgT = (bary[:, None, :] * g[None, :, :]).transpose(1, 0, 2).reshape(f, -1)
 
     m = row_idx.shape[1]
-    pad = (-m) % event_chunk
+    # m == 0 (zero events) must still run ONE grid step: the kernel's
+    # mc==0 branch is what zero-initialises the output buffer — a
+    # zero-size grid would return it uninitialised. The -1 pad rows are
+    # dropped by the one-hot construction, so the result is exact zeros.
+    pad = (-m) % event_chunk if m else event_chunk
     if pad:
         row_idx = jnp.pad(row_idx, ((0, 0), (0, pad)), constant_values=-1)
         lane0 = jnp.pad(lane0, ((0, 0), (0, pad)))
@@ -358,10 +386,14 @@ def table_grad_matmul_T(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
 def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
                            g_a: jnp.ndarray, g_b: jnp.ndarray,
                            capacity: int, feature_dim: int,
-                           event_chunk: int = 768,
+                           event_chunk: int = EVENT_CHUNK_DUAL,
                            interpret: bool = False,
                            rows_used: int = 0):
     """Table gradients for TWO tables sharing indices, via one fused MXU scatter.
+
+    LEGACY LAYOUT — test reference only: its [M, 1]/[M, 2F] event operands
+    lane-pad up to 128x in HBM (CLAUDE.md rule 8); production uses the
+    lane-major ``table_grad_matmul_dual_T``.
 
     idx [V, N]; bary [V, N]; g_a/g_b [F, N] cotangents of the two gathers.
     Returns (dtable_a, dtable_b), each [C, F] f32.
@@ -390,7 +422,11 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
     bg = jnp.concatenate([bg_a, bg_b], axis=-1)               # [M, 2F]
 
     m = row_idx.shape[0]
-    pad = (-m) % event_chunk
+    # m == 0 (zero events) must still run ONE grid step: the kernel's
+    # mc==0 branch is what zero-initialises the output buffer — a
+    # zero-size grid would return it uninitialised. The -1 pad rows are
+    # dropped by the one-hot construction, so the result is exact zeros.
+    pad = (-m) % event_chunk if m else event_chunk
     if pad:
         row_idx = jnp.pad(row_idx, (0, pad), constant_values=-1)
         lane0 = jnp.pad(lane0, (0, pad))
@@ -421,15 +457,20 @@ def table_grad_matmul_dual(idx: jnp.ndarray, bary: jnp.ndarray,
 
 def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
                       capacity: int, feature_dim: int,
-                      event_chunk: int = 1024,
+                      event_chunk: int = EVENT_CHUNK,
                       interpret: bool = False,
                       rows_used: int = 0) -> jnp.ndarray:
     """Per-level table gradient via the fused MXU scatter.
 
+    LEGACY LAYOUT — test reference only: its [M, 1]/[M, F] event operands
+    lane-pad up to 128x in HBM (CLAUDE.md rule 8 — 4.25 GB per 34 MB logical
+    operand at flagship scale); production uses the lane-major
+    ``table_grad_matmul_T``.
+
     idx [V, N] table entries; bary [V, N]; g [F, N] output cotangent.
     Returns dtable [C, F] f32 = scatter of bary[v,n]*g[f,n] at (idx[v,n], f).
 
-    HBM traffic is ~(2 ints + F floats) per event; the [M, 128] lane-spread and
+    Within the kernel, traffic is ~(2 ints + F floats) per event; the [M, 128] lane-spread and
     the [M, R] one-hot exist only as per-chunk VMEM tiles. ``rows_used`` bounds
     the scatter for direct-indexed levels (see table_grad_matmul_dual).
     """
@@ -444,7 +485,11 @@ def table_grad_matmul(idx: jnp.ndarray, bary: jnp.ndarray, g: jnp.ndarray,
     bg = (bary[:, None, :] * g[None, :, :]).transpose(0, 2, 1).reshape(-1, f)
 
     m = row_idx.shape[0]
-    pad = (-m) % event_chunk
+    # m == 0 (zero events) must still run ONE grid step: the kernel's
+    # mc==0 branch is what zero-initialises the output buffer — a
+    # zero-size grid would return it uninitialised. The -1 pad rows are
+    # dropped by the one-hot construction, so the result is exact zeros.
+    pad = (-m) % event_chunk if m else event_chunk
     if pad:
         row_idx = jnp.pad(row_idx, (0, pad), constant_values=-1)
         lane0 = jnp.pad(lane0, (0, pad))

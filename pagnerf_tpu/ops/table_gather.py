@@ -241,8 +241,9 @@ def _use_mxu_scatter(c: int, f: int, dual: bool = False) -> bool:
     # kernel accumulates both grids' gradients ([R, 256] f32 vs [R, 128]) but
     # runs 768-event chunks (vs 1024) — model each kernel's actual footprint
     # (flagship c=2^18/f=2: single 11.0 MB, dual 10.9 MB, both deployed).
+    from .pallas_scatter import EVENT_CHUNK, EVENT_CHUNK_DUAL
     rows = (c * f) // LANES
-    chunk = 768 if dual else 1024
+    chunk = EVENT_CHUNK_DUAL if dual else EVENT_CHUNK
     acc_lanes = 2 * LANES if dual else LANES
     return (platform == "tpu" and (c * f) % LANES == 0
             and rows * acc_lanes * 4 + chunk * (rows * 2 + 512) < 12 * 2 ** 20)

@@ -21,6 +21,11 @@ DATA_AXIS = "data"
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available — a silently "
+                f"smaller mesh would train at reduced parallelism")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
@@ -43,15 +48,25 @@ def shard_ray_batch(batch: Dict, mesh: Mesh) -> Dict:
     would lose all data parallelism with no visible signal)."""
     rs = ray_sharding(mesh)
     rep = replicated(mesh)
+    arrs = {k: np.asarray(v) for k, v in batch.items()}
+    # The ray count R comes from the ray-generation arrays every batch carries
+    # (multiview.sample_batch); classify [B, R, ...] arrays by axis-1 == R so
+    # per-image metadata of any rank (e.g. [B, 4, 4] view matrices) replicates
+    # instead of being mistaken for a mis-sized ray axis.
+    ray_len = next((arrs[k].shape[1] for k in
+                    ("base_rays_origins", "rays_origins", "rgb", "imgs")
+                    if k in arrs and arrs[k].ndim >= 2), None)
+    if ray_len is None:
+        raise ValueError("batch has no recognised ray-mode array to size the "
+                         "ray axis from")
+    if ray_len % mesh.size != 0:
+        raise ValueError(
+            f"ray axis {ray_len} is not divisible by the {mesh.size}-device "
+            f"mesh — pick num_rays_sampled_per_img as a multiple of the mesh "
+            f"size")
     out = {}
-    for k, v in batch.items():
-        arr = np.asarray(v)
-        if arr.ndim >= 2 and k != "cam_idx":
-            if arr.shape[1] % mesh.size != 0:
-                raise ValueError(
-                    f"batch['{k}'] ray axis {arr.shape[1]} is not divisible by "
-                    f"the {mesh.size}-device mesh — pick num_rays_sampled_per_img "
-                    f"as a multiple of the mesh size")
+    for k, arr in arrs.items():
+        if arr.ndim >= 2 and arr.shape[1] == ray_len:
             out[k] = jax.device_put(arr, rs)
         else:
             out[k] = jax.device_put(arr, rep)

@@ -195,3 +195,28 @@ def test_small_table_below_sublane_alignment():
                                           interpret=True)
     np.testing.assert_allclose(np.asarray(db_t), np.asarray(ref(g_b)),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_zero_event_scatter_returns_zeros():
+    """M == 0 events must return exact zeros: a zero-size grid would skip the
+    kernel's mc==0 zero-init and hand back an uninitialised buffer."""
+    from pagnerf_tpu.ops.pallas_scatter import (scatter_rows_matmul,
+                                                table_grad_matmul_T)
+    out = scatter_rows_matmul(jnp.zeros((0,), jnp.int32),
+                              jnp.zeros((0, 128)), num_rows=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    d = table_grad_matmul_T(jnp.zeros((4, 0), jnp.int32), jnp.zeros((4, 0)),
+                            jnp.zeros((2, 0)), capacity=256, feature_dim=2,
+                            rows_used=0, interpret=True)
+    assert d.shape == (256, 2)
+    np.testing.assert_array_equal(np.asarray(d), 0.0)
+
+
+def test_scatter_rows_matmul_non_divisible_num_rows():
+    """num_rows not a multiple of row_block must pick a smaller divisor, not
+    assert (e.g. 640 % 512 != 0 but the scatter is perfectly valid)."""
+    from pagnerf_tpu.ops.pallas_scatter import scatter_rows_matmul
+    row = jnp.array([0, 639, 639], jnp.int32)
+    vals = jnp.ones((3, 128))
+    out = scatter_rows_matmul(row, vals, num_rows=640, interpret=True)
+    assert float(out[639, 0]) == 2.0 and float(out[0, 0]) == 1.0

@@ -205,3 +205,22 @@ def test_sharded_fused_step_matches_host_loop(monkeypatch):
         np.testing.assert_allclose(float(losses_plain[k]),
                                    float(losses_fused[k]), rtol=2e-3,
                                    err_msg=k)
+
+
+def test_make_mesh_rejects_too_few_devices():
+    """Requesting more devices than exist must raise, not silently build a
+    smaller mesh (which would train at reduced parallelism with no signal)."""
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(1000)
+
+
+def test_shard_ray_batch_replicates_per_image_matrices():
+    """Per-image metadata of rank >= 2 (e.g. [B, 4, 4] view matrices) must be
+    replicated, not mistaken for a mis-sized ray axis."""
+    mesh = make_mesh(8)
+    batch = {"imgs": np.random.rand(2, 16, 3).astype(np.float32),
+             "view_mats": np.eye(4, dtype=np.float32)[None].repeat(2, 0),
+             "cam_idx": np.array([0, 1], np.int32)}
+    sharded = shard_ray_batch(batch, mesh)
+    assert sharded["imgs"].sharding == ray_sharding(mesh)
+    assert sharded["view_mats"].sharding.is_fully_replicated
