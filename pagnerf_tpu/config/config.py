@@ -218,6 +218,9 @@ FLAG_GROUPS: Dict[str, list] = {
         # (TrainerConfig.micro_batch_imgs / fused_micro_step)
         ("micro-batch-imgs", int, 1, None, None),
         ("fused-micro-step", B, False, None, None),
+        # pipelined loss readback depth (TrainerConfig.dispatch_ahead);
+        # 0 = sync every step (NaN hunting)
+        ("dispatch-ahead", int, 4, None, None),
         ("inst-num-dilations", int, -1, None, None),
         # minimum instance-mask pixel count kept by the validation cleanup; the
         # reference hardcodes 100 (tuned for 1280x720 berries,

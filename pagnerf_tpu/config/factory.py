@@ -165,6 +165,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         # TrainerConfig.micro_batch_imgs) — only clamp negatives to it
         micro_batch_imgs=max(getattr(args, "micro_batch_imgs", 1), 0),
         fused_micro_step=getattr(args, "fused_micro_step", False),
+        dispatch_ahead=max(getattr(args, "dispatch_ahead", 4), 0),
         voxel_raymarch_epoch_start=(args.voxel_raymarch_epoch_start
                                     if args.voxel_raymarch_epoch_start > 0
                                     else 10 ** 9),

@@ -138,6 +138,15 @@ class TrainerConfig:
     # per-microbatch rng keys). Env override: PAGNERF_FUSED_STEP=0/1.
     fused_micro_step: bool = False
 
+    # Pipelined loss readback in run_epoch: keep up to this many steps'
+    # loss dicts in flight before forcing a host read, so batch sampling and
+    # step dispatch overlap with device execution (each step depends on the
+    # previous params, so the device still executes strictly in order — this
+    # only hides host time and the axon tunnel round-trip behind it).
+    # 0 = read every step's losses immediately (old behaviour; useful when
+    # hunting NaNs, since errors surface at the offending step).
+    dispatch_ahead: int = 4
+
     valid_every: int = 100
     render_batch: int = 8000
     val_mip: int = 2
@@ -646,6 +655,19 @@ class PanopticTrainer:
         totals: Dict[str, float] = {}
         t0 = time.time()
         nef = self.pipeline.nef
+
+        # Bounded dispatch-ahead: loss dicts stay on device for up to
+        # cfg.dispatch_ahead steps before the host reads them, so sampling +
+        # dispatch of the next steps overlap with device execution (the
+        # params dependency chain keeps execution order exact). Reading the
+        # OLDEST pending dict only waits for work that is already done or
+        # imminent.
+        pending: list = []
+
+        def drain(device_losses) -> None:
+            for k, v in device_losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+
         for _ in range(self.steps_per_epoch):
             if cfg.random_lod:
                 cut = int(self.rng.integers(1, nef.grid.num_lods + 1))
@@ -656,11 +678,12 @@ class PanopticTrainer:
             batch = self.dataset.sample_batch(self.rng, cfg.batch_size,
                                               cfg.num_rays_sampled_per_img, split)
             self.timer.check("data_sample")
-            losses = {k: float(v)
-                      for k, v in self.train_step(stage, batch).items()}
-            self.timer.check("train_step")   # float() above synced the device
-            for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + v
+            pending.append(self.train_step(stage, batch))
+            while len(pending) > max(getattr(cfg, "dispatch_ahead", 0), 0):
+                drain(pending.pop(0))
+            self.timer.check("train_step")   # dispatch + amortised readback
+        for device_losses in pending:
+            drain(device_losses)
         for k in totals:
             totals[k] /= self.steps_per_epoch
         self.training_time += time.time() - t0

@@ -287,3 +287,21 @@ def test_fused_micro_step_single_microbatch():
         batch = trainer.dataset.sample_batch(rng, 2, 64)
         losses.append(float(trainer.train_step(stage, batch)["rgb_loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_dispatch_ahead_matches_per_step_sync():
+    """Pipelined loss readback (dispatch_ahead > 0) must yield the same epoch
+    totals as the old per-step float() sync: readback depth only changes WHEN
+    the host reads losses, never the params/loss dependency chain."""
+    def run(depth):
+        trainer, ds = make_trainer(epochs=2, dispatch_ahead=depth)
+        return trainer.run_epoch(0), trainer.run_epoch(1)
+
+    t0_sync, t1_sync = run(0)
+    t0_pipe, t1_pipe = run(3)
+    assert t0_sync.keys() == t0_pipe.keys()
+    for k in t0_sync:
+        np.testing.assert_allclose(t0_pipe[k], t0_sync[k], rtol=1e-6,
+                                   err_msg=f"epoch-0 {k}")
+        np.testing.assert_allclose(t1_pipe[k], t1_sync[k], rtol=1e-6,
+                                   err_msg=f"epoch-1 {k}")
