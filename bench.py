@@ -256,6 +256,37 @@ def main():
     post_rays = run_phase(stage_post, "post[panoptic]", max_iters, start,
                           min(micro_post, micro_for(stage_post, cap)))
 
+    # ---- render (serving) throughput at the post-prune regime -------------
+    # The reference logs "render time/img" per validation (SURVEY §6,
+    # pc_nerf/trainer.py:699-704). Full-image forward renders with all
+    # panoptic channels, through the CURRENT stage's raymarch settings —
+    # the regime a deployed/interactive viewer serves from. Each timed frame
+    # is a DISTINCT view rendered exactly once (axon caches repeated launches
+    # with identical inputs — CLAUDE.md rule 6), with a host read per frame.
+    render_rays = render_ms = None
+    if (os.environ.get("BENCH_RENDER", "1") != "0"
+            and time.perf_counter() - start < budget):
+        from pagnerf_tpu.train.validation import _rays_from
+        imgs = ds.get_images(split="val", mip=0)
+        chans = {"rgb", "depth", "semantics", "inst_embedding"}
+        n_views = imgs["imgs"].shape[0]
+        h, w = imgs["imgs"].shape[1:3]
+        t0 = time.perf_counter()
+        _ = np.asarray(trainer.batch_render(
+            _rays_from(imgs, 0, False), chans,
+            stage_cfg=stage_post).rgb)   # compile + warmup
+        note(f"render compile+first frame: {time.perf_counter() - t0:.1f}s "
+             f"({w}x{h}, {len(chans)} channels)")
+        t0 = time.perf_counter()
+        for i in range(1, n_views):
+            _ = np.asarray(trainer.batch_render(_rays_from(imgs, i, False),
+                                                chans, stage_cfg=stage_post).rgb)
+        dt = time.perf_counter() - t0
+        render_ms = 1000.0 * dt / (n_views - 1)
+        render_rays = (n_views - 1) * h * w / dt
+        note(f"render: {render_rays:.0f} rays/s, {render_ms:.1f} ms/img "
+             f"over {n_views - 1} distinct views")
+
     # ---- phase 5: panoptic post-prune at the convergence run's ~25% occ ---
     post_conv_rays = None
     if probe_conv_occ and time.perf_counter() - start < budget:
@@ -291,6 +322,9 @@ def main():
     }
     if post_conv_rays is not None:
         out["post_prune_at_25pct_occ"] = round(post_conv_rays, 1)
+    if render_rays is not None:
+        out["render_rays_per_sec"] = round(render_rays, 1)
+        out["render_ms_per_img"] = round(render_ms, 1)
     print(json.dumps(out), flush=True)
 
 
