@@ -159,6 +159,28 @@ def main():
                    jax.random.uniform(k2, (19, rays, compact))),
                   f"integration+composite grad (R={rays}, S={compact}, C=19)")
 
+    # ---- 3d. device auction assignment (panoptic-loss tail) ----------------
+    # One [K, M] solve per image per step (lin_assignment_things); K = GT
+    # instances present (~20 upper bound on the synthetic/BUP20 scenes),
+    # M = 200 slots. The while_loop is sequential on-device — this probe
+    # decides whether the auction is a visible share of the panoptic tail.
+    from pagnerf_tpu.ops.assignment import auction_assign
+
+    imgs_per_step = int(os.environ.get("BENCH_BATCH", 6))
+
+    @jax.jit
+    def assign_step(cost):
+        present = jnp.ones(cost.shape[1], bool)
+        assign = jax.vmap(lambda c: auction_assign(c, present))(cost)
+        # evolve the costs from the result so each iteration depends on the
+        # previous solve (axon caches repeated launches otherwise)
+        bump = jax.nn.one_hot(jnp.maximum(assign, 0), cost.shape[-1]) * 1e-4
+        return cost + bump
+
+    t_assign = loop(assign_step,
+                    jax.random.uniform(kb, (imgs_per_step, 20, 200)),
+                    f"auction assignment ({imgs_per_step} x [20, 200])")
+
     # ---- 4. decoder MLP grad at matched sample counts (params descend) -----
     from pagnerf_tpu.models.decoder import BasicDecoder
     dec = BasicDecoder(output_dim=16, hidden_dim=64, num_layers=1,
@@ -183,6 +205,7 @@ def main():
         "enc_single_vjp_ms": round(t_single, 1),
         "scatter_ms": round(t_scat, 1),
         "composite_grad_ms": round(t_comp, 1),
+        "assign_ms": round(t_assign, 1),
         "mlp_grad_ms": round(t_mlp, 1),
     }), flush=True)
 
