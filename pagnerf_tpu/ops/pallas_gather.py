@@ -74,7 +74,8 @@ def _dbary_kernel(feat_dim, table_ref, idx_ref, g_ref, out_ref):
         out_ref[0, vi] = acc
 
 
-def _call(kernel, feat_dim, tables_packed, idx, weights, out_feat):
+def _call(kernel, feat_dim, tables_packed, idx, weights, out_feat,
+          interpret=False):
     l, r, _ = tables_packed.shape
     _, v, n = idx.shape
     assert n % r == 0, "sample count must be padded to a multiple of packed rows"
@@ -93,18 +94,49 @@ def _call(kernel, feat_dim, tables_packed, idx, weights, out_feat):
         out_specs=pl.BlockSpec((1, out_feat, r), lambda li, c: (li, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, out_feat, n), tables_packed.dtype),
+        interpret=interpret,
     )(tables_packed, idx, weights)
 
 
 def multilevel_gather_fwd(tables_packed: jnp.ndarray, idx: jnp.ndarray,
-                          bary: jnp.ndarray, feat_dim: int) -> jnp.ndarray:
+                          bary: jnp.ndarray, feat_dim: int,
+                          interpret: bool = False) -> jnp.ndarray:
     """tables_packed [L, R, 128], idx [L, V, N], bary [L, V, N] -> [L, F, N]."""
     return _call(_fwd_kernel, feat_dim, tables_packed, idx,
-                 bary.astype(tables_packed.dtype), feat_dim)
+                 bary.astype(tables_packed.dtype), feat_dim,
+                 interpret=interpret)
 
 
 def multilevel_gather_dbary(tables_packed: jnp.ndarray, idx: jnp.ndarray,
-                            g: jnp.ndarray, feat_dim: int) -> jnp.ndarray:
+                            g: jnp.ndarray, feat_dim: int,
+                            interpret: bool = False) -> jnp.ndarray:
     """tables_packed [L, R, 128], idx [L, V, N], g [L, F, N] -> dbary [L, V, N]."""
     return _call(_dbary_kernel, feat_dim, tables_packed, idx,
-                 g.astype(tables_packed.dtype), idx.shape[1])
+                 g.astype(tables_packed.dtype), idx.shape[1],
+                 interpret=interpret)
+
+
+def multilevel_gather_dual_fwd(packed_a: jnp.ndarray, packed_b: jnp.ndarray,
+                               idx: jnp.ndarray, bary: jnp.ndarray,
+                               feat_dim: int, interpret: bool = False):
+    """Fused dual-table gather: both grids' features in ONE lookup per vertex.
+
+    The PAg-NeRF delta grid reads the SAME lattice indices as the main grid
+    (stop-gradient coords, reference panoptic_delta_nef.py:215), and the row
+    gather is lookup-RATE-bound (~300-400M rows/s on v5e regardless of row
+    bytes) — so the two [C, F] tables are lane-concatenated into [C, 2F]
+    packed rows and gathered once, exactly like the XLA dual path
+    (ops/table_gather._gather_feats_dual).
+
+    packed_a/b [L, R, 128] (each table's own packing); idx/bary [L, V, N].
+    Returns (out_a, out_b), each [L, F, N]. Bit-exact vs two single gathers.
+    """
+    l, r, _ = packed_a.shape
+    c = (r * LANES) // feat_dim
+    # repack [C, F] + [C, F] -> [C, 2F] -> [L, 2R, 128] (row-major reshapes)
+    both = jnp.concatenate([packed_a.reshape(l, c, feat_dim),
+                            packed_b.reshape(l, c, feat_dim)], axis=2)
+    packed = both.reshape(l, 2 * r, LANES)
+    out = _call(_fwd_kernel, 2 * feat_dim, packed, idx,
+                bary.astype(packed.dtype), 2 * feat_dim, interpret=interpret)
+    return out[:, :feat_dim], out[:, feat_dim:]

@@ -135,6 +135,27 @@ def _probe_pallas_gather(rows: int, f: int, v: int) -> bool:
     return _PALLAS_GATHER_PROBE[key]
 
 
+def _use_pallas_cf(c: int, f: int, v: int) -> bool:
+    """Gate the fused Pallas gather for a [*, C, F] table stack (see
+    ``_use_pallas``). ``f`` is the EFFECTIVE feature width — 2F for the
+    lane-concatenated dual-table gather."""
+    import os
+    mode = os.environ.get("PAGNERF_PALLAS_GATHER", "0")
+    if mode not in ("1", "probe", "auto"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    rows = (c * f) // LANES
+    if not (platform == "tpu" and rows >= 8 and (c * f) % LANES == 0
+            and LANES % f == 0):
+        return False
+    if mode == "1":
+        return True
+    return _probe_pallas_gather(rows, f, v)
+
+
 def _use_pallas(tables: jnp.ndarray, idx: jnp.ndarray) -> bool:
     """Use the fused Pallas gather kernel when on TPU, the packed-row count
     satisfies the hardware gather's shape contract, and (in probe mode) a
@@ -148,21 +169,8 @@ def _use_pallas(tables: jnp.ndarray, idx: jnp.ndarray) -> bool:
     a poor trade for a lever that needs a toolchain fix anyway.
     PAGNERF_PALLAS_GATHER=1 forces on, =probe compiles once per shape per
     process and turns on iff the toolchain accepts it."""
-    import os
-    mode = os.environ.get("PAGNERF_PALLAS_GATHER", "0")
-    if mode not in ("1", "probe", "auto"):
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "cpu"
     c, f = tables.shape[1:]
-    rows = (c * f) // LANES
-    if not (platform == "tpu" and rows >= 8 and (c * f) % LANES == 0):
-        return False
-    if mode == "1":
-        return True
-    return _probe_pallas_gather(rows, f, int(idx.shape[1]))
+    return _use_pallas_cf(int(c), int(f), int(idx.shape[1]))
 
 
 def multilevel_table_gather(tables: jnp.ndarray, idx: jnp.ndarray,
@@ -349,9 +357,6 @@ def _gather_feats_dual(ta: jnp.ndarray, tb: jnp.ndarray, idx: jnp.ndarray):
     both = _gather_feats(jnp.concatenate([ta, tb], axis=1), idx)  # [V, 2F, N]
     return both[:, :f], both[:, f:]
 
-_DUAL_PALLAS_WARNED: list = []
-
-
 def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
                                  idx: jnp.ndarray, bary: jnp.ndarray,
                                  rows_used=None):
@@ -372,15 +377,6 @@ def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
     Returns (out_a, out_b), each [L, F, N]. ``rows_used``: see
     multilevel_table_gather.
     """
-    import os
-    if os.environ.get("PAGNERF_PALLAS_GATHER", "0") in ("1", "probe", "auto") \
-            and not _DUAL_PALLAS_WARNED:
-        _DUAL_PALLAS_WARNED.append(True)
-        import logging
-        logging.getLogger(__name__).warning(
-            "PAGNERF_PALLAS_GATHER is set but the dual-table (delta-grid) "
-            "gather has no fused Pallas variant yet — the flagship panoptic "
-            "path stays on XLA row gathers")
     l = tables_a.shape[0]
     ru = tuple(int(r) for r in rows_used) if rows_used is not None else (0,) * l
     return _dual_mtg(ru, tables_a, tables_b, idx, bary)
@@ -391,7 +387,29 @@ def _dual_mtg(rows_used, tables_a, tables_b, idx, bary):
     return _dual_forward(tables_a, tables_b, idx, bary)
 
 
+def _dual_use_pallas(c: int, f: int, v: int) -> bool:
+    """The fused dual path needs the toolchain to lower BOTH gather shapes:
+    the [C, 2F]-packed forward (2x-dense rows) and the [C, F]-packed A-side
+    re-gather that the backward's dbary uses."""
+    return _use_pallas_cf(c, 2 * f, v) and _use_pallas_cf(c, f, v)
+
+
 def _dual_forward(tables_a, tables_b, idx, bary):
+    l, c, f = tables_a.shape
+    v, n = idx.shape[1:]
+    if _dual_use_pallas(int(c), int(f), int(v)):
+        from .pallas_gather import multilevel_gather_dual_fwd
+        rows2 = (c * 2 * f) // LANES
+        pad = (-n) % rows2
+        if pad:
+            idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
+            bary = jnp.pad(bary, ((0, 0), (0, 0), (0, pad)))
+        rows = (c * f) // LANES
+        out_a, out_b = multilevel_gather_dual_fwd(
+            tables_a.reshape(l, rows, LANES), tables_b.reshape(l, rows, LANES),
+            idx, bary, f)
+        return out_a[:, :, :n], out_b[:, :, :n]
+
     def body(_, level_in):
         ta, tb, i, b = level_in
         fa, fb = _gather_feats_dual(ta, tb, i)            # [V, F, N] each
@@ -402,6 +420,16 @@ def _dual_forward(tables_a, tables_b, idx, bary):
 
 
 def _dual_fwd(rows_used, tables_a, tables_b, idx, bary):
+    l, c, f = tables_a.shape
+    if _dual_use_pallas(int(c), int(f), int(idx.shape[1])):
+        # Pallas path re-gathers the A table in bwd for dbary (everything
+        # stays VMEM-resident in the kernel), so no forward features are
+        # saved — tables_a itself rides the residuals in spec_a's slot.
+        out = _dual_forward(tables_a, tables_b, idx, bary)
+        res = (None, tables_a,
+               jax.ShapeDtypeStruct(tables_b.shape, tables_b.dtype), idx, bary)
+        return out, res
+
     def body(_, level_in):
         ta, tb, i, b = level_in
         fa, fb = _gather_feats_dual(ta, tb, i)            # fa saved for dbary,
@@ -457,7 +485,19 @@ def _dual_bwd(rows_used, res, g):
                 vals.reshape(-1)).reshape(l, c, f)
         dta, dtb = xla_scatter(g_a), xla_scatter(g_b)
     # bary cotangent from the A side only (B's bary is stop-gradient by contract)
-    dbary = jnp.sum(feats_a.astype(g_a.dtype) * g_a[:, None, :, :], axis=2)
+    if feats_a is None:
+        # Pallas path: re-gather the A table inside the dbary kernel.
+        from .pallas_gather import multilevel_gather_dbary
+        tables_a = spec_a                       # real array in the spec slot
+        rows = (c * f) // LANES
+        n = idx.shape[2]
+        pad = (-n) % rows
+        gp = jnp.pad(g_a, ((0, 0), (0, 0), (0, pad))) if pad else g_a
+        ip = jnp.pad(idx, ((0, 0), (0, 0), (0, pad))) if pad else idx
+        dbary = multilevel_gather_dbary(
+            tables_a.reshape(l, rows, LANES), ip, gp, f)[:, :, :n]
+    else:
+        dbary = jnp.sum(feats_a.astype(g_a.dtype) * g_a[:, None, :, :], axis=2)
     return (dta.astype(spec_a.dtype), dtb.astype(spec_b.dtype), None,
             dbary.astype(bary.dtype))
 
