@@ -175,3 +175,55 @@ def test_rejects_feature_dim_not_dividing_lanes():
     bary = jnp.ones((4, 8))
     with pytest.raises(AssertionError, match="must divide"):
         table_gather_weighted(table, idx, bary)
+
+
+def test_pallas_gather_path_matches_xla_in_interpret_mode(monkeypatch):
+    """The TPU-only fused Pallas GATHER branches of _ml_* and _dual_* (forward,
+    re-gathered dbary, padding for non-multiple sample counts) run on CPU via
+    interpret mode must match the XLA fallback's outputs AND gradients. This is
+    the only CI coverage the gather hot path gets — the real path is gated on
+    the axon toolchain accepting tpu.dynamic_gather."""
+    import functools
+
+    from pagnerf_tpu.ops import pallas_gather, table_gather
+    from pagnerf_tpu.ops.table_gather import dual_multilevel_table_gather
+
+    l, c, f, v, n = 2, 512, 2, 4, 37       # n != 0 mod rows: exercises padding
+    key = jax.random.PRNGKey(11)
+    ka, kb, ki, kw, kc = jax.random.split(key, 5)
+    ta = jax.random.normal(ka, (l, c, f))
+    tb = jax.random.normal(kb, (l, c, f))
+    idx = jax.random.randint(ki, (l, v, n), 0, c)
+    idx = idx.at[:, 3].set(idx[:, 1])      # duplicates must accumulate
+    bary = jax.random.uniform(kw, (l, v, n))
+    ct = jax.random.normal(kc, (l, f, n))
+
+    def loss_single(t, b):
+        return jnp.sum(multilevel_table_gather(t, idx, b) * ct)
+
+    def loss_dual(t1, t2, b):
+        oa, ob = dual_multilevel_table_gather(t1, t2, idx, b)
+        return jnp.sum(oa * ct) + jnp.sum(ob * ct * 0.5)
+
+    v_xla, g_xla = jax.value_and_grad(loss_single, (0, 1))(ta, bary)
+    vd_xla, gd_xla = jax.value_and_grad(loss_dual, (0, 1, 2))(ta, tb, bary)
+
+    monkeypatch.setattr(table_gather, "_use_pallas", lambda t, i: True)
+    monkeypatch.setattr(table_gather, "_dual_use_pallas", lambda c, f, v: True)
+    for name in ("multilevel_gather_fwd", "multilevel_gather_dbary",
+                 "multilevel_gather_dual_fwd"):
+        fn = getattr(pallas_gather, name)
+        monkeypatch.setattr(pallas_gather, name,
+                            functools.partial(fn, interpret=True))
+
+    v_pl, g_pl = jax.value_and_grad(loss_single, (0, 1))(ta, bary)
+    vd_pl, gd_pl = jax.value_and_grad(loss_dual, (0, 1, 2))(ta, tb, bary)
+
+    np.testing.assert_allclose(float(v_pl), float(v_xla), rtol=1e-5)
+    np.testing.assert_allclose(float(vd_pl), float(vd_xla), rtol=1e-5)
+    for a, b, name in zip(g_pl, g_xla, ("dtables", "dbary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"single {name}")
+    for a, b, name in zip(gd_pl, gd_xla, ("dta", "dtb", "dbary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"dual {name}")
