@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import pprint
 from typing import Any, Dict
 
@@ -348,6 +349,10 @@ def parse_yaml_config(config_path: str, parser: argparse.ArgumentParser):
 
     if "parent" in config_dict:
         parent_path = config_dict.pop("parent")
+        if not os.path.isabs(parent_path):
+            # relative to the CHILD config's directory, not the CWD
+            # (reference config_parser.py:579-580)
+            parent_path = os.path.join(os.path.dirname(config_path), parent_path)
         with open(parent_path) as f:
             parent_dict = yaml.safe_load(f)
         if "parent" in parent_dict:

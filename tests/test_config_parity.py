@@ -39,3 +39,26 @@ def test_reference_group_keys_exist():
     from pagnerf_tpu.config.config import FLAG_GROUPS
     missing = sorted(g for g in ref_groups if g not in FLAG_GROUPS)
     assert not missing, f"reference YAML groups missing: {missing}"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference checkout absent")
+def test_all_reference_yaml_configs_parse():
+    """Every YAML in the reference's config matrix must load through OUR
+    parser unmodified — including relative ``parent:`` paths, which the
+    reference resolves against the CHILD config's directory
+    (config_parser.py:579-580)."""
+    import glob
+    import sys
+
+    from pagnerf_tpu.config.config import parse_options
+    cfgs = sorted(glob.glob("/root/reference/configs/**/*.yaml",
+                            recursive=True))
+    assert len(cfgs) >= 13
+    argv = sys.argv
+    try:
+        for cfg in cfgs:
+            sys.argv = ["main.py", "--config", cfg]
+            args = parse_options()
+            assert args.nef_type, cfg
+    finally:
+        sys.argv = argv
