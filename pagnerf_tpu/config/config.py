@@ -288,10 +288,10 @@ FLAG_GROUPS: Dict[str, list] = {
         ("step-size", float, 1.0, None, None),
         ("ray-max-travel", float, 6.0, None, None),
         ("min-dis", float, 0.0003, None, None),
-        ("matcap-path", str, "", None, None),
+        ("matcap-path", str, "data/matcaps/matcap_plastic_yellow.jpg", None, None),
         ("ao", B, False, None, None),
         ("shadow", B, False, None, None),
-        ("shading-mode", str, "rb", ["matcap", "rb", "normal"], None),
+        ("shading-mode", str, "normal", ["matcap", "rb", "normal"], None),
     ],
 }
 
