@@ -62,3 +62,38 @@ def test_all_reference_yaml_configs_parse():
             assert args.nef_type, cfg
     finally:
         sys.argv = argv
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference checkout absent")
+def test_same_name_configs_have_reference_effective_values():
+    """Each configs/bup20/<name>.yaml must parse to the SAME effective flag
+    values as the reference's same-name experiment config (the whole point of
+    shipping the matrix). Only documented equivalences are excused:
+    panoptic_features_type None == 'delta' for Delta NeFs (the reference NeF's
+    constructor default)."""
+    import glob
+    import sys
+
+    from pagnerf_tpu.config.config import parse_options
+
+    def parse(path):
+        argv = sys.argv
+        try:
+            sys.argv = ["m", "--config", path]
+            return vars(parse_options())
+        finally:
+            sys.argv = argv
+
+    skip = {"config", "log_dir", "log_level", "pretrained"}
+    for ref_cfg in sorted(glob.glob("/root/reference/configs/bup20/*.yaml")):
+        name = os.path.basename(ref_cfg)
+        ours = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "bup20", name)
+        assert os.path.exists(ours), f"missing our counterpart of {name}"
+        r, o = parse(ref_cfg), parse(ours)
+        diffs = {k: (r[k], o[k]) for k in r
+                 if k in o and r[k] != o[k] and k not in skip}
+        diffs = {k: v for k, v in diffs.items()
+                 if not (k == "panoptic_features_type"
+                         and v[0] is None and v[1] == "delta")}
+        assert not diffs, f"{name}: effective values diverge: {diffs}"
