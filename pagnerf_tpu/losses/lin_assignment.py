@@ -112,7 +112,12 @@ def lin_assignment_loss(probs: jnp.ndarray, labels: jnp.ndarray,
         # the same guard as semantic_loss (photometric.py)
         in_range = gt < num_labels
         valid = in_range.astype(p.dtype)
-        cost, present = _label_slot_cost(p, gt, valid, num_labels)
+        # the reference builds this cost from softmax(scores) while the NLL
+        # uses the raw (already-softmaxed) scores — i.e. the cost sees a
+        # SECOND softmax (lin_assignment.py:18-22). Replicated: the extra
+        # compression can change the Hungarian optimum in near-tie cases.
+        cost, present = _label_slot_cost(jax.nn.softmax(p, axis=-1), gt,
+                                         valid, num_labels)
         assign = hungarian_assign(cost, present)                  # [K]
         virt = assign[jnp.clip(gt, 0, num_labels - 1)]            # [N]
         pred = jnp.argmax(p, axis=-1)
