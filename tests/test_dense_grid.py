@@ -33,21 +33,26 @@ def test_octree_grid_aliases():
 
 def test_config_variants_parse():
     from pagnerf_tpu.config.config import parse_options
-    for cfg, nef, tracer in [
-        ("configs/bup20/panoptic_nerf.yaml", "PanopticNeF", "PanopticPackedRFTracer"),
+    # expectations mirror the reference configs' effective values exactly
+    # (reference configs/bup20/*.yaml; see commit "Mirror the reference
+    # experiment matrix's effective values exactly")
+    for cfg, nef, tracer, epochs in [
+        ("configs/bup20/panoptic_nerf.yaml", "MeanShiftPanopticNeF",
+         "PackedRFTracer", 200),
         ("configs/bup20/panoptic_dd.yaml", "PanopticDDensityNeF",
-         "PanopticDDensityPackedRFTracer"),
-        ("configs/bup20/semantic_nerf_app.yaml", "SemanticNeF", "PackedRFTracer"),
+         "PanopticDDensityPackedRFTracer", 800),
+        ("configs/bup20/semantic_nerf_app.yaml", "SemanticNeF",
+         "PackedRFTracer", 800),
         ("configs/bup20/panoptic_lifting_app.yaml", "PanopticLiftingNeF",
-         "PanopticPackedRFTracer"),
+         "PanopticPackedRFTracer", 800),
         ("configs/bup20/mean_shift_contrastive.yaml",
-         "MeanShiftPanopticDeltaNeF", "PanopticPackedRFTracer"),
+         "MeanShiftPanopticDeltaNeF", "PanopticPackedRFTracer", 800),
     ]:
         args = parse_options(["--config", cfg])
         assert args.nef_type == nef, cfg
         assert args.tracer_type == tracer, cfg
-        # parent inheritance pulled best.yaml defaults through
-        assert args.epochs == 800, cfg
+        # parent inheritance pulled defaults through
+        assert args.epochs == epochs, cfg
 
 
 def test_grid_registry_accepts_all_reference_names():
