@@ -146,6 +146,8 @@ def main():
         note(f"{label} compile+first step: {time.perf_counter() - t0:.1f}s "
              f"({stage.raymarch_type} {stage.num_steps} steps"
              + (f" compacted to {stage.compact_steps}" if stage.compact_steps
+                else "")
+             + (f" packed to {stage.pack_steps}/ray" if stage.pack_steps
                 else "") + f", micro_batch_imgs={micro})")
         rays = timed_steps(stage, label, iters, start)
         note(f"{label}: {rays:.1f} rays/s")
@@ -167,7 +169,7 @@ def main():
     cap_rgb = float(os.environ.get("BENCH_SAMPLE_CAP_RGB", cap))
 
     def micro_for(stage, sample_cap):
-        steps = stage.compact_steps or stage.num_steps
+        steps = stage.pack_steps or stage.compact_steps or stage.num_steps
         fits = [m for m in range(1, batch_size + 1)
                 if batch_size % m == 0
                 and m * rays_per_img * steps <= sample_cap]
@@ -225,7 +227,7 @@ def main():
 
     stage_seed = trainer.stage_for_epoch(0)
     seeded_rays = pre_rays
-    if stage_seed.compact_steps > 0:
+    if stage_seed.compact_steps > 0 or stage_seed.pack_steps > 0:
         seeded_rays = run_phase(rgb_only(stage_seed), "seeded[rgb]", pre_iters,
                                 start, micro_for(stage_seed, cap_rgb))
     else:
@@ -247,7 +249,8 @@ def main():
 
     # ---- phase 3: post-prune rgb (voxel mode + compaction, epochs 201-601)
     stage_post = trainer.stage_for_epoch(3)
-    assert stage_post.raymarch_type == "voxel" and stage_post.compact_steps > 0
+    assert stage_post.raymarch_type == "voxel" and (
+        stage_post.compact_steps > 0 or stage_post.pack_steps > 0)
     post_rgb_rays = run_phase(rgb_only(stage_post), "post[rgb]", max_iters,
                               start, min(micro_post,
                                          micro_for(stage_post, cap_rgb)))
@@ -293,7 +296,8 @@ def main():
         force_occupancy(0.25, "conv-occupancy probe")
         stage_conv = trainer.stage_for_epoch(3)
         note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
-             f"compact budget {stage_conv.compact_steps}")
+             f"compact budget {stage_conv.compact_steps}, "
+             f"pack budget {stage_conv.pack_steps}/ray")
         post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
                                    min(micro_post, micro_for(stage_conv, cap)))
 

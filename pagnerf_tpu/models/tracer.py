@@ -32,6 +32,9 @@ from ..core.render_buffer import RenderBuffer
 from ..ops.composite import (composite_channel_T, composite_scalar,
                              exponential_integration_weights)
 from ..ops.occupancy import OccupancyGrid
+from ..ops.packed import (pack_samples, packed_composite,
+                          packed_integration_weights, segment_broadcast,
+                          segment_sum)
 from ..ops.raymarch import compact_samples, raymarch
 
 RENDER_CHANNELS = frozenset({"depth", "alpha", "hit"})
@@ -73,6 +76,13 @@ class TracerConfig:
     # on at most this many valid samples per ray. 0 disables. The trainer enables
     # this after the prune epoch, when occupancy is sparse.
     compact_steps: int = 0
+    # Cross-ray PACKED layout (ops/packed.py): flatten the block's valid samples
+    # into one static [pack_steps * num_rays] buffer (ray-major, depth-ordered;
+    # water-filling truncation on overflow). Sized for the batch MEAN valid
+    # count instead of compact_steps' per-ray tail — the TPU equivalent of the
+    # reference's ragged packed tensors. Takes precedence over compact_steps.
+    # 0 disables.
+    pack_steps: int = 0
 
     @property
     def is_dd(self) -> bool:
@@ -161,6 +171,8 @@ def trace(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
 def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfig,
                  channels: FrozenSet[str], stage: str = "val",
                  key: Optional[jax.Array] = None) -> RenderBuffer:
+    if cfg.pack_steps:
+        return _trace_block_packed(nef_fn, rays, occ, cfg, channels, stage, key)
     num_rays = rays.origins.shape[0]
     rm = raymarch(rays, occ, cfg.num_steps, cfg.raymarch_type,
                   cfg.ray_max_travel, key=key)
@@ -221,4 +233,65 @@ def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfi
         out[ch] = panop_alpha * composite_channel_T(f, panop_weights)
 
     assert num_rays == r
+    return RenderBuffer(**out)
+
+
+def _trace_block_packed(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid,
+                        cfg: TracerConfig, channels: FrozenSet[str],
+                        stage: str = "val",
+                        key: Optional[jax.Array] = None) -> RenderBuffer:
+    """Packed-layout trace: identical contracts to ``_trace_block`` (same
+    channels, same stop-gradient structure, same bg compositing), but the NeF
+    evaluates one cross-ray [3, B] buffer of (mostly) valid samples instead
+    of the dense/per-ray-compacted grid — see ops/packed.py."""
+    num_rays = rays.origins.shape[0]
+    rm = raymarch(rays, occ, cfg.num_steps, cfg.raymarch_type,
+                  cfg.ray_max_travel, key=key)
+    ps = pack_samples(rm, rays.origins.T, rays.dirs.T,
+                      budget=cfg.pack_steps * num_rays)
+
+    ray_dT = segment_broadcast(rays.dirs.T, ps.ray_id, ps.offsets)   # [3, B]
+
+    sample_channels = frozenset(channels - RENDER_CHANNELS) | {"density"}
+    if cfg.is_dd and (channels & PANOPTIC_CHANNELS):
+        sample_channels = sample_channels | {"panoptic_density"}
+
+    feats = _chunked_nef_eval(nef_fn, ps.positionsT, ray_dT, sample_channels,
+                              cfg.sample_chunk)                   # {ch: [C, B]}
+    out: Dict[str, jnp.ndarray] = {}
+
+    density = feats["density"].reshape(-1)                        # [B]
+    tau = density * ps.deltas
+    weights, alpha = packed_integration_weights(tau, ps)
+
+    out["alpha"] = alpha
+    out["hit"] = alpha[..., 0] > 0.0
+
+    if cfg.ray_sparsity_reg > 0.0 and stage == "train":
+        spars = jnp.log(1.0 + 2.0 * density ** 2) * ps.valid
+        out["ray_sparsity_loss"] = (
+            segment_sum(spars[None, :], ps.offsets)[0] * cfg.ray_sparsity_reg)
+
+    if channels & PANOPTIC_CHANNELS:
+        if cfg.is_dd:
+            panop_tau = (feats["panoptic_density"].reshape(-1)
+                         * jax.lax.stop_gradient(ps.deltas))
+        else:
+            panop_tau = jax.lax.stop_gradient(tau)
+        panop_weights, panop_alpha = packed_integration_weights(panop_tau, ps)
+        out["panoptic_alpha"] = panop_alpha
+
+    if "rgb" in channels:
+        ray_colors = packed_composite(feats["rgb"], weights, ps)
+        if cfg.bg_color == "white":
+            out["rgb"] = (1.0 - alpha) + alpha * ray_colors
+        else:
+            out["rgb"] = alpha * ray_colors
+
+    if "depth" in channels:
+        out["depth"] = packed_composite(ps.depths[None, :], weights, ps)
+
+    for ch in channels & PANOPTIC_CHANNELS:
+        out[ch] = panop_alpha * packed_composite(feats[ch], panop_weights, ps)
+
     return RenderBuffer(**out)

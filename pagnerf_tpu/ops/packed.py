@@ -1,0 +1,196 @@
+"""Cross-ray PACKED sample layout — the TPU equivalent of the reference's
+ragged packed tensors (kaolin raymarch emits only occupied samples;
+/root/reference/tracers/panoptic_packed_rf_tracer.py:85-114 composites them
+with ``mark_pack_boundaries``/``exponential_integration``/``sum_reduce``).
+
+The per-ray compacted layout (ops/raymarch.compact_samples) pays a STATIC
+per-ray budget sized for the tail of the valid-count distribution — measured
+2.1x the mean at deployed occupancy and 12x at sparse fields (PERFORMANCE.md,
+scripts/probe_compact_budget.py). Packing instead flattens a microbatch's
+valid samples, ray-major and depth-ordered, into ONE static [B] buffer sized
+for the batch MEAN (CLT makes the batch total tight even though per-ray
+counts are wide).
+
+Because the packed order is ray-major, every ray's segment is CONTIGUOUS —
+so no scatter appears anywhere in forward or backward:
+  * segment reductions (compositing sums, per-ray alpha/sparsity) are
+    prefix-sum differences at the segment boundaries (``segment_sum``);
+  * per-ray -> per-sample broadcasts (ray origins/dirs, t0/span) are gathers
+    whose custom VJP is again a ``segment_sum`` (``segment_broadcast``) —
+    XLA's autodiff would emit a B-event scatter-add (the known ~100M
+    updates/s cliff, PERFORMANCE.md).
+Measured overheads at flagship post scale (scripts/probe_packed_costs.py):
+pack-sort 20 ms, pack-gather 27 ms, segmented integration 11 ms per step.
+
+When the batch's valid total exceeds the budget, rays are truncated by
+WATER-FILLING: the largest per-ray cap k* with sum(min(count, k*)) <= B, so
+every ray keeps its k* shallowest valid samples before any ray keeps more —
+the fairest static truncation (deep-tail samples behind dense geometry carry
+the least transmittance).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .raymarch import RaymarchResult
+
+_INT_BIG = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class PackedSamples:
+    """A microbatch's valid samples, ray-major and depth-ordered.
+
+    ray_id:   [B] int32 owning ray (clamped to R-1 on the padding tail).
+    step_id:  [B] int32 step index within the ray's dense [S] grid.
+    offsets:  [R+1] int32 segment boundaries (offsets[r]..offsets[r+1] is
+              ray r's slice; offsets[R] = total packed count <= B).
+    valid:    [B] bool (False on the padding tail).
+    depths:   [B] sample depth along the ray.
+    deltas:   [B] inter-sample step length.
+    positionsT: [3, B] world-space positions (feature-major).
+    """
+
+    ray_id: jnp.ndarray
+    step_id: jnp.ndarray
+    offsets: jnp.ndarray
+    valid: jnp.ndarray
+    depths: jnp.ndarray
+    deltas: jnp.ndarray
+    positionsT: jnp.ndarray
+
+
+# ------------------------------------------------------------- segment ops
+def segment_sum(x: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Sum contiguous segments: x [C, B], offsets [R+1] -> [C, R].
+
+    Prefix-sum differences at the boundaries — no scatter. Elements at or
+    beyond offsets[-1] (the padding tail) are excluded by construction.
+    Empty segments sum to exactly 0 (equal boundary prefixes)."""
+    pc = jnp.concatenate(
+        [jnp.zeros((x.shape[0], 1), x.dtype), jnp.cumsum(x, axis=1)], axis=1)
+    return pc[:, offsets[1:]] - pc[:, offsets[:-1]]
+
+
+@jax.custom_vjp
+def segment_broadcast(x: jnp.ndarray, ray_id: jnp.ndarray,
+                      offsets: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast per-ray values to packed samples: x [C, R] -> [C, B].
+
+    Forward is a plain gather; the custom VJP replaces autodiff's B-event
+    scatter-add with a segment_sum (cumsum + 2R boundary gathers)."""
+    return x[:, ray_id]
+
+
+def _segment_broadcast_fwd(x, ray_id, offsets):
+    return x[:, ray_id], (ray_id, offsets)
+
+
+def _segment_broadcast_bwd(res, g):
+    ray_id, offsets = res
+    return segment_sum(g, offsets), None, None
+
+
+segment_broadcast.defvjp(_segment_broadcast_fwd, _segment_broadcast_bwd)
+
+
+# ------------------------------------------------------------------ pack
+def _water_fill_cap(counts: jnp.ndarray, num_steps: int, budget: int
+                    ) -> jnp.ndarray:
+    """Largest per-ray cap k with sum(min(counts, k)) <= budget (k >= 0).
+
+    totals(k) = sum_j<=k #{rays with count >= j} is monotone in k; evaluated
+    for all k in one [S] cumsum over the count histogram."""
+    # hist[j] = #rays with count >= j+1, j = 0..S-1
+    hist = jnp.sum(counts[None, :] >= jnp.arange(1, num_steps + 1,
+                                                 dtype=counts.dtype)[:, None],
+                   axis=1)
+    totals = jnp.cumsum(hist)                      # totals[k-1] = sum min(c, k)
+    return jnp.sum(totals <= budget).astype(counts.dtype)   # k*
+
+
+def pack_samples(rm: RaymarchResult, rays_oT: jnp.ndarray, rays_dT: jnp.ndarray,
+                 budget: int) -> PackedSamples:
+    """Pack a dense march [R, S] into a static [B = budget] buffer.
+
+    rays_oT / rays_dT: [3, R] ray origins / directions (feature-major). The
+    packed positions/depths are recomputed IN packed space from per-ray
+    geometry (t0/span via segment_broadcast) and the pose-independent
+    unit-interval coordinate u = (depth - t0)/span (stop-gradient: u is
+    exactly frac + jitter/S, independent of the pose by construction of
+    ops/raymarch._uniform_samples) — so pose gradients flow through
+    segment_broadcast's scatter-free VJP instead of a dense [R, S] scatter.
+    """
+    r, s = rm.mask.shape
+    assert rm.t0 is not None and rm.span is not None, \
+        "pack_samples needs a RaymarchResult carrying t0/span (ops/raymarch)"
+    counts = jnp.sum(rm.mask, axis=-1, dtype=jnp.int32)          # [R]
+    cap = _water_fill_cap(counts, s, budget)
+    keep = jnp.minimum(counts, cap)                              # [R]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(keep, dtype=jnp.int32)])
+
+    # eligibility: a sample survives iff valid and among its ray's `keep`
+    # shallowest valid samples
+    rank = jnp.cumsum(rm.mask, axis=-1, dtype=jnp.int32) - 1     # [R, S]
+    eligible = rm.mask & (rank < keep[:, None])
+
+    # pack permutation: ascending sort of the flat ray-major index where
+    # eligible (key == index, so the sorted key IS the gather index)
+    flat = jnp.where(eligible, jnp.arange(r * s, dtype=jnp.int32).reshape(r, s),
+                     _INT_BIG).reshape(-1)
+    sidx = jax.lax.sort(flat)[:budget]                           # [B]
+    valid = sidx < _INT_BIG
+    sidx = jnp.where(valid, sidx, 0)
+    ray_id = sidx // s
+    step_id = sidx % s
+
+    # pose-independent unit coordinate of every dense sample (STOP-GRAD: see
+    # docstring — the value is exact, the zero pose-derivative is exact)
+    span = rm.span
+    safe_span = jnp.where(span > 0, span, 1.0)
+    u = jax.lax.stop_gradient((rm.depths - rm.t0[:, None]) / safe_span[:, None])
+    u_b = u.reshape(-1)[sidx]                                    # [B]
+
+    geom = jnp.stack([rm.t0, span])                              # [2, R]
+    geom_b = segment_broadcast(geom, ray_id, offsets)            # [2, B]
+    depths = geom_b[0] + u_b * geom_b[1]
+    deltas = geom_b[1] / jnp.float32(s)
+
+    od = jnp.concatenate([rays_oT, rays_dT], axis=0)             # [6, R]
+    od_b = segment_broadcast(od, ray_id, offsets)                # [6, B]
+    positionsT = od_b[:3] + od_b[3:] * depths[None, :]
+
+    return PackedSamples(ray_id=ray_id, step_id=step_id, offsets=offsets,
+                         valid=valid, depths=depths, deltas=deltas,
+                         positionsT=positionsT)
+
+
+# ------------------------------------------------------------ integration
+def packed_integration_weights(tau: jnp.ndarray, ps: PackedSamples
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed equivalent of ops/composite.exponential_integration_weights.
+
+    tau [B] -> (weights [B], alpha [R, 1]). The per-ray exclusive-cumsum
+    transmittance becomes one global cumsum minus the ray's prefix at its
+    segment start (contiguity makes the reset a gather, not a scan reset)."""
+    tau = jnp.where(ps.valid, tau, 0.0)
+    pref = jnp.concatenate([jnp.zeros((1,), tau.dtype), jnp.cumsum(tau)])
+    base = pref[ps.offsets[:-1]]                                 # [R]
+    excl = pref[:-1] - segment_broadcast(base[None, :], ps.ray_id,
+                                         ps.offsets)[0]          # sum_{j<i, same ray}
+    weights = jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
+    weights = jnp.where(ps.valid, weights, 0.0)
+    alpha = segment_sum(weights[None, :], ps.offsets).T          # [R, 1]
+    return weights, alpha
+
+
+def packed_composite(feats: jnp.ndarray, weights: jnp.ndarray,
+                     ps: PackedSamples) -> jnp.ndarray:
+    """Weighted per-ray reduction: feats [C, B], weights [B] -> [R, C]
+    (packed equivalent of ops/composite.composite_channel_T)."""
+    return segment_sum(feats * weights[None, :], ps.offsets).T

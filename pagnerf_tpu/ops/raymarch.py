@@ -43,6 +43,11 @@ class RaymarchResult:
     depths: jnp.ndarray
     deltas: jnp.ndarray
     mask: jnp.ndarray
+    # per-ray sampling interval (depths = t0 + u * span with u pose-independent):
+    # carried for the packed layout (ops/packed.py), which recomputes sample
+    # geometry in packed space so pose gradients avoid dense scatters
+    t0: Optional[jnp.ndarray] = None     # [R]
+    span: Optional[jnp.ndarray] = None   # [R]
 
     @property
     def positions(self) -> jnp.ndarray:
@@ -135,7 +140,7 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
     mask = occ.occupied_at_T(positionsT) & hit_aabb[:, None]
 
     return RaymarchResult(positionsT=positionsT, depths=depths, deltas=deltas,
-                          mask=mask)
+                          mask=mask, t0=t0, span=t1 - t0)
 
 
 def compact_samples(rm: RaymarchResult, keep_steps: int) -> RaymarchResult:
@@ -160,4 +165,4 @@ def compact_samples(rm: RaymarchResult, keep_steps: int) -> RaymarchResult:
     return RaymarchResult(
         positionsT=jnp.stack([x[:, sl], y[:, sl], z[:, sl]]),
         depths=depths[:, sl], deltas=deltas[:, sl],
-        mask=key_s[:, sl] == 0)
+        mask=key_s[:, sl] == 0, t0=rm.t0, span=rm.span)

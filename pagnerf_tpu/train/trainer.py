@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from functools import partial
 from typing import Dict, Optional
@@ -103,6 +104,15 @@ class TrainerConfig:
     # -1 = auto (num_steps // 4), 0 = disabled (see TracerConfig.compact_steps).
     compact_steps_after_prune: int = -1
 
+    # Cross-ray PACKED sample layout after the prune (TracerConfig.pack_steps,
+    # ops/packed.py): replaces per-ray compaction with one [B] buffer sized
+    # for the batch MEAN valid count (1.15 x occ_frac x num_steps per ray,
+    # rounded up to 8) instead of compact's per-ray tail budget — measured
+    # 1.8x fewer NeF samples at the deployed 44% occupancy and ~8x at sparse
+    # fields (PERFORMANCE.md). Opt-in while the TPU timing is validated.
+    # Env override: PAGNERF_PACKED=0/1.
+    packed_compaction: bool = False
+
     # Early occupancy seeding: a CONSERVATIVE prune (extra mask dilation, no
     # optimizer re-init, generous keep floor) after a few warm-up epochs, so
     # sample compaction covers most of the long pre-prune regime too. The
@@ -184,6 +194,7 @@ class StageConfig:
     raymarch_type: str
     num_steps: int
     compact_steps: int
+    pack_steps: int
     use_sem: bool
     use_inst: bool
     use_inst_segment_reg: bool
@@ -269,7 +280,17 @@ class PanopticTrainer:
         else:
             num_steps = base.num_steps
         compact = 0
-        if getattr(self, "_pruned", False) and cfg.compact_steps_after_prune != 0:
+        pack = 0
+        packed_on = os.environ.get("PAGNERF_PACKED",
+                                   "1" if cfg.packed_compaction else "0") == "1"
+        if getattr(self, "_pruned", False) and packed_on:
+            # packed layout: budget per ray = batch mean valid count (the
+            # occupied volume fraction is the line average) + 15% CLT margin
+            frac = getattr(self, "_occ_frac", 0.25)
+            pack = max(8, int(np.ceil(1.15 * frac * num_steps / 8.0)) * 8)
+            if pack >= num_steps:
+                pack = 0   # dense field: packing would not help
+        elif getattr(self, "_pruned", False) and cfg.compact_steps_after_prune != 0:
             if cfg.compact_steps_after_prune > 0:
                 compact = cfg.compact_steps_after_prune
             else:
@@ -289,6 +310,7 @@ class PanopticTrainer:
             raymarch_type="voxel" if voxel else base.raymarch_type,
             num_steps=num_steps,
             compact_steps=compact,
+            pack_steps=pack,
             use_sem=use_sem,
             use_inst=use_inst,
             # NOTE: the threshold is the WEIGHT, reproducing a reference quirk:
@@ -308,7 +330,8 @@ class PanopticTrainer:
         tracer_cfg = dataclasses.replace(self.pipeline.tracer_cfg,
                                          raymarch_type=stage.raymarch_type,
                                          num_steps=stage.num_steps,
-                                         compact_steps=stage.compact_steps)
+                                         compact_steps=stage.compact_steps,
+                                         pack_steps=stage.pack_steps)
         b, r = batch["imgs"].shape[:2]
         base_rays = Rays(origins=batch["base_rays_origins"],
                          dirs=batch["base_rays_dirs"],
