@@ -65,15 +65,45 @@ class PackedSamples:
 
 
 # ------------------------------------------------------------- segment ops
+def _comp_prefix(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compensated inclusive prefix sum along axis -1, with a leading zero.
+
+    Returns ``(hi, lo)`` of shape [..., B+1] with ``hi + lo`` ≈ the exact
+    prefix. A single fp32 prefix over the whole packed buffer reaches
+    magnitudes ~1e4-1e5 at flagship scale (B~2.9M), where the fp32 ulp is
+    ~1e-2 — so boundary DIFFERENCES (per-segment sums ~1e0-1e1) lose 2-4
+    digits to representation quantisation alone. The fix keeps the rounding
+    residual of each accumulation step in a second fp32 stream:
+        hi = cumsum(x);  r = x - diff(hi)   (the per-step increment error,
+                                             == -(e_i - e_{i-1}) exactly)
+        lo = cumsum(r)  ≈ -e_i  (second-order error only)
+    so (hi_a - hi_b) + (lo_a - lo_b) recovers the segment-scale value to
+    ~fp32 precision regardless of the global prefix magnitude. The residual
+    stream is mathematically zero, so it is wrapped in stop_gradient:
+    backward is exactly the plain-cumsum gradient (no extra cost, and
+    gradient parity with the dense path is preserved).
+
+    Accumulation always runs in float32 (bf16 inputs are upcast)."""
+    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    hi = jnp.cumsum(x, axis=-1)
+    zero = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    r = x - jnp.diff(hi, axis=-1, prepend=zero)
+    lo = jax.lax.stop_gradient(jnp.cumsum(r, axis=-1))
+    return (jnp.concatenate([zero, hi], axis=-1),
+            jnp.concatenate([jax.lax.stop_gradient(zero), lo], axis=-1))
+
+
 def segment_sum(x: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     """Sum contiguous segments: x [C, B], offsets [R+1] -> [C, R].
 
-    Prefix-sum differences at the boundaries — no scatter. Elements at or
-    beyond offsets[-1] (the padding tail) are excluded by construction.
-    Empty segments sum to exactly 0 (equal boundary prefixes)."""
-    pc = jnp.concatenate(
-        [jnp.zeros((x.shape[0], 1), x.dtype), jnp.cumsum(x, axis=1)], axis=1)
-    return pc[:, offsets[1:]] - pc[:, offsets[:-1]]
+    Compensated prefix-sum differences at the boundaries (see
+    ``_comp_prefix`` — a plain fp32 prefix loses segment-scale accuracy at
+    flagship buffer sizes) — no scatter. Elements at or beyond offsets[-1]
+    (the padding tail) are excluded by construction. Empty segments sum to
+    exactly 0 (equal boundary prefixes)."""
+    hi, lo = _comp_prefix(x)
+    return ((hi[:, offsets[1:]] - hi[:, offsets[:-1]])
+            + (lo[:, offsets[1:]] - lo[:, offsets[:-1]]))
 
 
 @jax.custom_vjp
@@ -82,7 +112,17 @@ def segment_broadcast(x: jnp.ndarray, ray_id: jnp.ndarray,
     """Broadcast per-ray values to packed samples: x [C, R] -> [C, B].
 
     Forward is a plain gather; the custom VJP replaces autodiff's B-event
-    scatter-add with a segment_sum (cumsum + 2R boundary gathers)."""
+    scatter-add with a segment_sum (cumsum + 2R boundary gathers).
+
+    Backward contract: cotangents arriving on the PADDING TAIL (positions
+    >= offsets[-1], whose forward values gather ray 0 through the clamped
+    ray_id) are DROPPED, not accumulated into ray 0 — the boundary
+    differences in segment_sum never cover positions outside a segment, so
+    the exclusion is structural, not a masking pass. This is the adjoint of
+    the op's semantics (padding outputs are not part of the packed layout);
+    autodiff of the raw gather would instead credit tail cotangents to
+    ray 0. Callers reading padding outputs AND differentiating through them
+    get gradients that deliberately ignore the tail."""
     return x[:, ray_id]
 
 
@@ -177,12 +217,18 @@ def packed_integration_weights(tau: jnp.ndarray, ps: PackedSamples
 
     tau [B] -> (weights [B], alpha [R, 1]). The per-ray exclusive-cumsum
     transmittance becomes one global cumsum minus the ray's prefix at its
-    segment start (contiguity makes the reset a gather, not a scan reset)."""
+    segment start (contiguity makes the reset a gather, not a scan reset).
+    The global prefix is COMPENSATED (``_comp_prefix``): at flagship scale
+    the fp32 prefix magnitude (~1e4+) would otherwise quantise the
+    segment-scale exclusive sums to ~1e-2 absolute — percent-level error in
+    exp(-excl) for rays late in the buffer."""
     tau = jnp.where(ps.valid, tau, 0.0)
-    pref = jnp.concatenate([jnp.zeros((1,), tau.dtype), jnp.cumsum(tau)])
-    base = pref[ps.offsets[:-1]]                                 # [R]
-    excl = pref[:-1] - segment_broadcast(base[None, :], ps.ray_id,
-                                         ps.offsets)[0]          # sum_{j<i, same ray}
+    hi, lo = _comp_prefix(tau)                                   # [B+1] each
+    base = jnp.stack([hi[ps.offsets[:-1]], lo[ps.offsets[:-1]]])  # [2, R]
+    base_b = segment_broadcast(base, ps.ray_id, ps.offsets)      # [2, B]
+    # sum_{j<i, same ray}: hi and lo differenced SEPARATELY (hi-hi is the
+    # near-cancelling large pair; lo-lo the small correction)
+    excl = (hi[:-1] - base_b[0]) + (lo[:-1] - base_b[1])
     weights = jnp.exp(-excl) * (1.0 - jnp.exp(-tau))
     weights = jnp.where(ps.valid, weights, 0.0)
     alpha = segment_sum(weights[None, :], ps.offsets).T          # [R, 1]

@@ -290,7 +290,12 @@ class PanopticTrainer:
             pack = max(8, int(np.ceil(1.15 * frac * num_steps / 8.0)) * 8)
             if pack >= num_steps:
                 pack = 0   # dense field: packing would not help
-        elif getattr(self, "_pruned", False) and cfg.compact_steps_after_prune != 0:
+        if (pack == 0 and getattr(self, "_pruned", False)
+                and cfg.compact_steps_after_prune != 0):
+            # Reached either with packing off, or when the packed budget
+            # degenerated above (pack >= num_steps at 1.15*frac >= 1): per-ray
+            # compaction self-disables later, at 2*frac >= 1, so it can still
+            # win in the band between — fall through rather than run dense.
             if cfg.compact_steps_after_prune > 0:
                 compact = cfg.compact_steps_after_prune
             else:
@@ -767,13 +772,22 @@ class PanopticTrainer:
         and learns correspondingly thinner surfaces; rendering with the coarse
         base sampling under-samples those surfaces (rays alias straight through
         thin walls -> mottled renders, ~1-4 dB of val PSNR). The reference
-        renders through the same tracer state it trains with."""
+        renders through the same tracer state it trains with.
+
+        Renders ALSO carry the stage's sample-sparsity settings (compact_steps /
+        pack_steps): the marched geometry is identical — compaction/packing only
+        skip NeF evaluation of unoccupied samples — so serving pays the same
+        ~occupancy-proportional cost as training instead of the dense budget
+        (the reference's ragged packed layout gives its "Render time/img"
+        metric this for free, pc_nerf/trainer.py:699-704)."""
         from ..core.render_buffer import RenderBuffer
         cfg = self.pipeline.tracer_cfg
         if stage_cfg is None:
             stage_cfg = self.stage_for_epoch(max(self.epoch - 1, 0))
         cfg = dataclasses.replace(cfg, raymarch_type=stage_cfg.raymarch_type,
-                                  num_steps=stage_cfg.num_steps)
+                                  num_steps=stage_cfg.num_steps,
+                                  compact_steps=stage_cfg.compact_steps,
+                                  pack_steps=stage_cfg.pack_steps)
         flat = rays.flatten()
         n = flat.origins.shape[0]
         rbatch = self.cfg.render_batch

@@ -79,7 +79,7 @@ def test_water_fill_cap():
     assert int(_water_fill_cap(counts, 8, 0)) == 0
 
 
-def _march(n_rays=6, num_steps=24):
+def _march(n_rays=6, num_steps=24, raymarch_type="ray"):
     occ = OccupancyGrid.create(level=3)
     # carve some empty space so the mask is non-trivial
     mask = np.array(occ.mask)
@@ -87,8 +87,89 @@ def _march(n_rays=6, num_steps=24):
     occ = OccupancyGrid(occupancy=occ.occupancy, mask=jnp.asarray(mask),
                         level=occ.level)
     rays = make_test_rays(n_rays)
-    rm = raymarch(rays, occ, num_steps=num_steps, ray_max_travel=2.0)
+    rm = raymarch(rays, occ, num_steps=num_steps, ray_max_travel=2.0,
+                  raymarch_type=raymarch_type)
     return rays, occ, rm
+
+
+def test_comp_prefix_accuracy_at_large_buffer():
+    """Flagship-scale numerical pin (advisor round-3 medium finding): with a
+    PLAIN fp32 global prefix over a ~2M buffer the prefix magnitude reaches
+    ~1e4-1e5 where fp32 ulp is ~1e-2-1e-1, so per-segment boundary
+    differences (exclusive transmittance sums ~1e0) lose 2-4 digits for rays
+    late in the buffer. The compensated prefix must match the per-ray f64
+    ground truth to ~fp32 precision at EVERY buffer position."""
+    from pagnerf_tpu.ops.packed import PackedSamples
+    rng = np.random.default_rng(7)
+    r_count, seg = 16384, 128               # B = 2.1M, like flagship post scale
+    b = r_count * seg
+    tau32 = rng.uniform(0.0, 0.12, size=b).astype(np.float32)  # global sum ~1.3e5
+    offsets = jnp.arange(0, b + 1, seg, dtype=jnp.int32)
+    ray_id = jnp.repeat(jnp.arange(r_count, dtype=jnp.int32), seg)
+    ps = PackedSamples(ray_id=ray_id, step_id=jnp.zeros((b,), jnp.int32),
+                       offsets=offsets, valid=jnp.ones((b,), bool),
+                       depths=jnp.zeros((b,)), deltas=jnp.zeros((b,)),
+                       positionsT=jnp.zeros((3, 1)))
+    w, a = jax.jit(packed_integration_weights)(jnp.asarray(tau32), ps)
+
+    tau64 = tau32.astype(np.float64).reshape(r_count, seg)
+    excl64 = np.cumsum(tau64, axis=1) - tau64
+    w64 = np.exp(-excl64) * (1.0 - np.exp(-tau64))
+    err = np.abs(np.asarray(w, np.float64).reshape(r_count, seg) - w64)
+    # fp32-grade accuracy everywhere, including the last segments (a plain
+    # prefix fails this by 3+ orders of magnitude on the late rays)
+    assert err.max() < 5e-6, err.max()
+    a64 = w64.sum(axis=1)
+    np.testing.assert_allclose(np.asarray(a)[:, 0], a64, rtol=3e-5, atol=3e-6)
+
+    # segment_sum at the same scale: per-segment sums of O(1)-magnitude
+    # values against f64 ground truth
+    x = rng.uniform(-1.0, 1.0, size=(1, b)).astype(np.float32)
+    s = np.asarray(jax.jit(segment_sum)(jnp.asarray(x), offsets))[0]
+    s64 = x.astype(np.float64).reshape(r_count, seg).sum(axis=1)
+    np.testing.assert_allclose(s, s64, atol=2e-4)
+
+
+def test_pack_matches_dense_valid_set_voxel_mode():
+    """Voxel-mode march (the mode the trainer actually deploys pack_steps in):
+    the t0/span refit path — probe back-off, has_hit select, max-travel clamp —
+    feeds pack_samples' packed-space geometry reconstruction."""
+    rays, occ, rm = _march(num_steps=24, raymarch_type="voxel")
+    assert rm.t0 is not None and int(np.asarray(rm.mask).sum()) > 0
+    total = int(np.asarray(rm.mask).sum())
+    ps = pack_samples(rm, rays.origins.T, rays.dirs.T, budget=total + 5)
+    assert int(ps.offsets[-1]) == total
+    mask = np.asarray(rm.mask)
+    off = np.asarray(ps.offsets)
+    for r in range(mask.shape[0]):
+        sl = slice(off[r], off[r + 1])
+        steps = np.where(mask[r])[0]
+        np.testing.assert_array_equal(np.asarray(ps.step_id)[sl], steps)
+        np.testing.assert_allclose(np.asarray(ps.depths)[sl],
+                                    np.asarray(rm.depths)[r, steps],
+                                    rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ps.positionsT)[:, sl],
+                                    np.asarray(rm.positionsT)[:, r, steps],
+                                    rtol=1e-5, atol=1e-5)
+
+
+def test_packed_trace_matches_dense_voxel_mode():
+    """Full-channel packed == dense parity under raymarch_type='voxel' with a
+    finite ray_max_travel (the deployed post-prune regime)."""
+    nef, params, occ, rays, dense_cfg, packed_cfg = _trace_pair()
+    dense_cfg = dataclasses.replace(dense_cfg, raymarch_type="voxel")
+    packed_cfg = dataclasses.replace(packed_cfg, raymarch_type="voxel")
+
+    def nef_fn(c, d, ch):
+        return nef.apply(params, c, d, frozenset(ch))
+
+    rb_d = trace(nef_fn, rays, occ, dense_cfg, ALL_CH, stage="train")
+    rb_p = trace(nef_fn, rays, occ, packed_cfg, ALL_CH, stage="train")
+    for ch in ("rgb", "depth", "alpha", "semantics", "inst_embedding",
+               "panoptic_alpha", "ray_sparsity_loss"):
+        np.testing.assert_allclose(np.asarray(getattr(rb_p, ch)),
+                                    np.asarray(getattr(rb_d, ch)),
+                                    rtol=2e-4, atol=2e-5, err_msg=ch)
 
 
 def test_pack_matches_dense_valid_set():
@@ -274,3 +355,12 @@ def test_trainer_packed_stage_and_step():
     assert np.isfinite(float(losses["total_loss"]))
     losses2 = trainer.train_step(st1, batch)
     assert np.isfinite(float(losses2["total_loss"]))
+
+    # degenerate packed budget (1.15*frac >= 1 -> pack = 0) falls through to
+    # the compact_steps_after_prune rule instead of running dense (advisor
+    # round-3 finding): with an explicit compact budget it must be honoured
+    trainer.cfg = dataclasses.replace(trainer.cfg, compact_steps_after_prune=8)
+    trainer._occ_frac = 0.95
+    st2 = trainer.stage_for_epoch(0)
+    assert st2.pack_steps == 0
+    assert st2.compact_steps == 8
