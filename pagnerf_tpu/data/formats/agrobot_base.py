@@ -189,8 +189,16 @@ class SequenceDataset:
 
     # ------------------------------------------------------------------ preds
     def load_preds(self, img_path: Path):
-        """Dispatch on the predictions folder name (agrobot_base.py:463-476)."""
+        """Dispatch on the predictions folder name (agrobot_base.py:463-476).
+
+        ``preds_rel_path=None`` (no preds source in load_modes — the
+        reference's GT-supervision regime) returns all-None: callers then
+        omit the pred channels from the frame, and the trainer's
+        ``batch.get("semantics_pred", batch["semantics"])`` precedence
+        trains on the GT labels."""
         p = self.preds_rel_path
+        if not p:
+            return None, None, None, None
         if "unet" in p:
             with bz2.open(img_path.parent / p / f"{img_path.stem}.pkl.bz2") as f:
                 preds = pickle.load(f)
@@ -280,7 +288,7 @@ class SequenceDataset:
                 inst_label = np.full(rgb.shape[:2], -1, np.int32)
 
             depth = self._load_depth(path.parent / self.depth_rel_path / path.name)
-            if self.max_depth > 0:
+            if self.max_depth > 0 and imap_pred is not None:
                 buf = imap_pred
                 imap_pred = self.filter_masks_with_depth(imap_pred, depth)
                 flipped = np.logical_xor(buf, imap_pred)
@@ -297,13 +305,14 @@ class SequenceDataset:
             frame = {
                 "rgb": rgb, "depth": depth,
                 "semantics": sem_label, "imap": inst_label,
-                "semantics_pred": sem_pred, "imap_pred": imap_pred,
-                "sem_conf": sem_conf, "inst_conf": inst_conf,
                 "odom": frame_odom.astype(np.float32), "odom_ts": ts,
                 "intrinsics": cam_params["intrinsics"],
                 "extrinsics": cam_params["extrinsics"],
                 "file_names": path.name,
             }
+            if sem_pred is not None:
+                frame.update({"semantics_pred": sem_pred, "imap_pred": imap_pred,
+                              "sem_conf": sem_conf, "inst_conf": inst_conf})
             if robot_mask is not None:
                 frame["robot_mask"] = robot_mask
             data.append(frame)
@@ -404,13 +413,14 @@ class InferenceDataset(SequenceDataset):
             empty = np.full(rgb.shape[:2], -1, np.int32)
             frame = {
                 "rgb": rgb, "depth": depth, "semantics": empty, "imap": empty,
-                "semantics_pred": sem_pred, "imap_pred": imap_pred,
-                "sem_conf": sem_conf, "inst_conf": inst_conf,
                 "odom": frame_odom.astype(np.float32), "odom_ts": ts,
                 "intrinsics": cam_params["intrinsics"],
                 "extrinsics": cam_params["extrinsics"],
                 "file_names": path.name,
             }
+            if sem_pred is not None:
+                frame.update({"semantics_pred": sem_pred, "imap_pred": imap_pred,
+                              "sem_conf": sem_conf, "inst_conf": inst_conf})
             if robot_mask is not None:
                 frame["robot_mask"] = robot_mask
             data.append(frame)

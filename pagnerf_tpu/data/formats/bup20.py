@@ -77,7 +77,11 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
     class_labels = class_labels or DEFAULT_CLASS_LABELS
     load_modes = load_modes or ["imgs", "semantics", "instance",
                                 "preds_mask2former"]
-    preds_name = next((m for m in load_modes if "preds" in m), "preds_mask2former")
+    # Honour load_modes the way the reference does (bup20.py load_modes
+    # handling): a run WITHOUT a preds source in load_modes loads no
+    # predictions at all, and the trainer's batch.get("semantics_pred",
+    # batch["semantics"]) precedence then supervises on the GT labels.
+    preds_name = next((m for m in load_modes if "preds" in m), None)
     root = Path(root).expanduser()
 
     cls = BUP20SequenceDataset if mode == "label_window" else BUP20InferenceDataset
@@ -107,14 +111,18 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
     sem_confs, inst_confs, depths, views, ts = [], [], [], [], []
     filenames, splits = [], []
     rng = np.random.default_rng(0)
+    have_preds = preds_name is not None
     for i, d in enumerate(frames):
         imgs.append(_resize(d["rgb"], h, w, nearest=False))
         sems.append(_resize(d["semantics"], h, w, nearest=True).astype(np.int32))
-        sems_p.append(_resize(d["semantics_pred"], h, w, nearest=True).astype(np.int32))
         insts.append(_resize(d["imap"], h, w, nearest=True).astype(np.int32))
-        insts_p.append(_resize(d["imap_pred"], h, w, nearest=True).astype(np.int32))
-        sem_confs.append(_resize(d["sem_conf"], h, w, nearest=False))
-        inst_confs.append(_resize(d["inst_conf"], h, w, nearest=False))
+        if have_preds:
+            sems_p.append(_resize(d["semantics_pred"], h, w,
+                                  nearest=True).astype(np.int32))
+            insts_p.append(_resize(d["imap_pred"], h, w,
+                                   nearest=True).astype(np.int32))
+            sem_confs.append(_resize(d["sem_conf"], h, w, nearest=False))
+            inst_confs.append(_resize(d["inst_conf"], h, w, nearest=False))
         depths.append(_resize(d["depth"], h, w, nearest=False))
 
         pose = cv_to_gl_pose(d["odom"].astype(np.float64)).astype(np.float32)
@@ -160,15 +168,18 @@ def load_data(root, split="train", bg_color="white", mip: int = 0,
         # exclude robot pixels from ray sampling
         extra["robot_mask"] = _resize(frames[0]["robot_mask"], h, w,
                                       nearest=True).astype(np.uint8)
+    if have_preds:
+        extra.update({
+            "semantics_pred": np.stack(sems_p),
+            "instance_pred": np.stack(insts_p),
+            "sem_conf": np.stack(sem_confs).astype(np.float32),
+            "inst_conf": np.stack(inst_confs).astype(np.float32),
+        })
     return {
         **extra,
         "imgs": np.stack(imgs).astype(np.float32),
         "semantics": np.stack(sems),
-        "semantics_pred": np.stack(sems_p),
         "instance": np.stack(insts),
-        "instance_pred": np.stack(insts_p),
-        "sem_conf": np.stack(sem_confs).astype(np.float32),
-        "inst_conf": np.stack(inst_confs).astype(np.float32),
         "depths": np.stack(depths).astype(np.float32),
         "rays_origins": np.asarray(wo).reshape(-1, h, w, 3),
         "rays_dirs": np.asarray(wd).reshape(-1, h, w, 3),

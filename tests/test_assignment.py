@@ -51,3 +51,91 @@ def test_auction_more_rows_than_cols():
     a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(present)))
     # first 4 present rows get distinct columns (reference truncates labels[:M])
     assert len(set(a[:4])) == 4
+
+
+# ---------------------------------------------------------------------------
+# Adversarial property sweep at the production size (VERDICT round-3 weak #6):
+# 200 x 200 with the +10000 repeated-ID rejection penalties of
+# losses/lin_assignment.py:85 in the mix, on degenerate / near-tie matrices.
+# The auction's theoretical guarantee is assignment-cost optimality within
+# n * eps (eps = spread * eps_scale / (m + 1), assignment.py:51); crucially
+# that slack (~10 at spread 1e4) is far below one 10000 penalty, so the test
+# ALSO proves the solver never takes an avoidable rejection penalty.
+# ---------------------------------------------------------------------------
+
+def _n_eps_bound(cost, present, m):
+    act = cost[present][: m]
+    spread = max(float(act.max() - act.min()), 1e-6)
+    n = int(present.sum())
+    return min(n, m) * spread * 1e-3 / (m + 1)
+
+
+def _check_adversarial(cost, present):
+    k, m = cost.shape
+    a_dev = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(present)))
+    rows = np.nonzero(present)[0][:m]
+    # always a valid matching on the participating rows
+    assert len(set(a_dev[rows])) == len(rows), "duplicate columns"
+    a_ref = hungarian_host(cost, present)
+    c_dev = optimal_cost(cost, present, a_dev)
+    c_ref = optimal_cost(cost, present, a_ref)
+    tol = _n_eps_bound(cost, present, m)
+    assert c_dev <= c_ref + tol + 1e-4, (c_dev, c_ref, tol)
+    return c_dev, c_ref
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_auction_production_size_with_rejection_penalties(seed):
+    """200x200 soft costs + the outlier-rejection structure: each row carries
+    a random band of disallowed columns at +10000 (lin_assignment.py:85)."""
+    rng = np.random.default_rng(100 + seed)
+    k = m = 200
+    cost = rng.uniform(-1.0, 0.0, (k, m)).astype(np.float32)
+    # ~30% of cells penalised, but keep >= 1 allowed column per row so a
+    # penalty-free matching may or may not exist — scipy decides the optimum
+    penal = rng.random((k, m)) < 0.3
+    penal[np.arange(k), rng.integers(0, m, k)] = False
+    cost = np.where(penal, cost + 10000.0, cost).astype(np.float32)
+    present = rng.random(k) > 0.1
+    c_dev, c_ref = _check_adversarial(cost, present)
+    # the n*eps slack (~10) is < one penalty: same number of 10000-cells used
+    assert round((c_dev - c_ref) / 10000.0) == 0
+
+
+@pytest.mark.parametrize("quant", [1.0, 0.1, 0.01])
+def test_auction_near_tie_matrices(quant):
+    """Quantised costs create massive exact ties (the price-war regime the
+    feasibility completion exists for): still a valid matching within n*eps."""
+    rng = np.random.default_rng(7)
+    k = m = 200
+    cost = (np.round(rng.uniform(-1.0, 0.0, (k, m)) / quant) * quant
+            ).astype(np.float32)
+    present = np.ones(k, bool)
+    _check_adversarial(cost, present)
+
+
+def test_auction_degenerate_plateaus():
+    """All-equal and rank-1 cost matrices: every matching is optimal; the
+    solver must still produce a VALID one (no duplicate columns, no stall)."""
+    k = m = 200
+    for cost in (np.zeros((k, m), np.float32),
+                 np.full((k, m), -0.5, np.float32),
+                 (-np.outer(np.linspace(0, 1, k),
+                            np.linspace(0, 1, m))).astype(np.float32)):
+        present = np.ones(k, bool)
+        _check_adversarial(cost, present)
+
+
+def test_auction_two_tier_near_ties_with_penalties():
+    """Adversarial two-tier structure: within-tier ties of exactly eps-scale
+    magnitude stacked against the rejection penalties — the regime where a
+    naive eps choice mis-prices bids. Optimality within n*eps must hold."""
+    rng = np.random.default_rng(11)
+    k = m = 200
+    base = rng.choice([-1.0, -0.999999], size=(k, m))   # sub-eps ties
+    penal = np.zeros((k, m), bool)
+    penal[:, : m // 2] = rng.random((k, m // 2)) < 0.5  # half the columns risky
+    cost = np.where(penal, base + 10000.0, base).astype(np.float32)
+    present = np.ones(k, bool)
+    c_dev, c_ref = _check_adversarial(cost, present)
+    assert round((c_dev - c_ref) / 10000.0) == 0

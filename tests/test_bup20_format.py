@@ -167,6 +167,40 @@ def test_multiview_dataset_over_bup20(bup20_root):
     assert "semantics_pred" in batch
 
 
+def test_load_modes_gt_vs_preds_supervision(bup20_root):
+    """load_modes selects the supervision source the way the reference does
+    (reference bup20.py load_modes handling): WITH a preds entry the data
+    carries semantics_pred/instance_pred (and the trainer's
+    batch.get("semantics_pred", ...) precedence trains on preds); WITHOUT
+    one, no predictions are loaded at all and training supervises on GT."""
+    from pagnerf_tpu.data.formats.bup20 import load_data
+    from pagnerf_tpu.data.multiview import MultiviewDataset
+
+    with_preds = load_data(bup20_root, dataset_center_idx=0,
+                           load_modes=["imgs", "semantics", "instance",
+                                       "preds_mask2former"])
+    assert "semantics_pred" in with_preds and "instance_pred" in with_preds
+    batch_p = MultiviewDataset(with_preds).sample_batch(
+        np.random.default_rng(0), 2, 8)
+    assert "semantics_pred" in batch_p
+    # trainer precedence: preds present -> preds supervise
+    sel = batch_p.get("semantics_pred", batch_p["semantics"])
+    np.testing.assert_array_equal(np.asarray(sel),
+                                  np.asarray(batch_p["semantics_pred"]))
+
+    gt_only = load_data(bup20_root, dataset_center_idx=0,
+                        load_modes=["imgs", "semantics", "instance"])
+    for k in ("semantics_pred", "instance_pred", "sem_conf", "inst_conf"):
+        assert k not in gt_only, k
+    batch_g = MultiviewDataset(gt_only).sample_batch(
+        np.random.default_rng(0), 2, 8)
+    assert "semantics_pred" not in batch_g
+    # trainer precedence: no preds loaded -> GT supervises
+    sel = batch_g.get("semantics_pred", batch_g["semantics"])
+    np.testing.assert_array_equal(np.asarray(sel),
+                                  np.asarray(batch_g["semantics"]))
+
+
 def test_inference_window_npz_odometry(bup20_root):
     """metashape (npz) odometry must work in the inference sliding window — the
     round-1 mirror of __getitem__ hard-coded the CSV loader and KeyError'd
