@@ -215,6 +215,10 @@ FLAG_GROUPS: Dict[str, list] = {
         # reference layout's epoch-0 empty-space skipping; see trainer.prune)
         ("seed-prune-epoch", int, -1, None, None),
         ("seed-keep-frac", float, 0.2, None, None),
+        # cross-ray packed sample layout after the prune (TrainerConfig.
+        # packed_compaction; ops/packed.py) — the TPU equivalent of the
+        # reference's ragged packed tensors; default on, TPU-validated
+        ("packed-compaction", B, True, None, None),
         # image-axis gradient accumulation + the single-dispatch fused step
         # (TrainerConfig.micro_batch_imgs / fused_micro_step)
         ("micro-batch-imgs", int, 1, None, None),

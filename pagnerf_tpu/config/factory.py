@@ -161,6 +161,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         prune_at_start=args.prune_at_start,
         seed_prune_epoch=getattr(args, "seed_prune_epoch", -1),
         seed_keep_frac=getattr(args, "seed_keep_frac", 0.2),
+        packed_compaction=getattr(args, "packed_compaction", True),
         # 0 is a documented sentinel (whole batch in one microbatch,
         # TrainerConfig.micro_batch_imgs) — only clamp negatives to it
         micro_batch_imgs=max(getattr(args, "micro_batch_imgs", 1), 0),

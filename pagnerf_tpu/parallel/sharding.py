@@ -76,3 +76,48 @@ def shard_ray_batch(batch: Dict, mesh: Mesh) -> Dict:
 def replicate_tree(tree, mesh: Mesh):
     rep = replicated(mesh)
     return jax.device_put(tree, rep)
+
+
+def shard_ray_batch_host_local(local_batch: Dict, mesh: Mesh) -> Dict:
+    """Per-host input loading for real pods (SURVEY.md §2.4).
+
+    On a multi-host mesh every process calls this with a batch whose pixel
+    modes cover ONLY its ray-axis shard (R_local = R_global / num_processes);
+    the global arrays are assembled shard-by-shard with
+    ``jax.make_array_from_process_local_data`` — no host ever materialises or
+    transfers the full batch (``shard_ray_batch`` device_puts the whole batch
+    from one host, which is fine on a single-host mesh but serialises pod
+    input on DCN). Per-image metadata (cam_idx, view matrices) must be
+    IDENTICAL on every process and is replicated.
+
+    Because ray batches are iid random pixel draws, hosts need no index
+    coordination: each host samples its R_local rays with an independent rng
+    stream and the union is exactly a global random batch. On a
+    single-process mesh this degrades to ``shard_ray_batch`` semantics
+    (R_local == R_global).
+    """
+    rs = ray_sharding(mesh)
+    rep = replicated(mesh)
+    n_proc = jax.process_count()
+    arrs = {k: np.asarray(v) for k, v in local_batch.items()}
+    ray_len_local = next((arrs[k].shape[1] for k in
+                          ("base_rays_origins", "rays_origins", "rgb", "imgs")
+                          if k in arrs and arrs[k].ndim >= 2), None)
+    if ray_len_local is None:
+        raise ValueError("batch has no recognised ray-mode array to size the "
+                         "ray axis from")
+    ray_len_global = ray_len_local * n_proc
+    if ray_len_global % mesh.size != 0:
+        raise ValueError(
+            f"global ray axis {ray_len_global} ({ray_len_local} local x "
+            f"{n_proc} processes) is not divisible by the {mesh.size}-device "
+            f"mesh")
+    out = {}
+    for k, arr in arrs.items():
+        if arr.ndim >= 2 and arr.shape[1] == ray_len_local:
+            global_shape = arr.shape[:1] + (ray_len_global,) + arr.shape[2:]
+            out[k] = jax.make_array_from_process_local_data(rs, arr,
+                                                            global_shape)
+        else:
+            out[k] = jax.device_put(arr, rep)
+    return out

@@ -107,11 +107,15 @@ class TrainerConfig:
     # Cross-ray PACKED sample layout after the prune (TracerConfig.pack_steps,
     # ops/packed.py): replaces per-ray compaction with one [B] buffer sized
     # for the batch MEAN valid count (1.15 x occ_frac x num_steps per ray,
-    # rounded up to 8) instead of compact's per-ray tail budget — measured
-    # 1.8x fewer NeF samples at the deployed 44% occupancy and ~8x at sparse
-    # fields (PERFORMANCE.md). Opt-in while the TPU timing is validated.
+    # rounded up to 8) instead of compact's per-ray tail budget. Default ON
+    # since round 4: TPU-validated at flagship scale (scripts/
+    # packed_parity_tpu.py — loss trajectories match the compacted path
+    # step-for-step within 2.3%, throughput 1.54x at the deployed 25%
+    # occupancy and larger at sparse fields; BENCH_r04). This is the TPU
+    # equivalent of the reference's ragged packed tensors
+    # (tracers/panoptic_packed_rf_tracer.py:85-114).
     # Env override: PAGNERF_PACKED=0/1.
-    packed_compaction: bool = False
+    packed_compaction: bool = True
 
     # Early occupancy seeding: a CONSERVATIVE prune (extra mask dilation, no
     # optimizer re-init, generous keep floor) after a few warm-up epochs, so

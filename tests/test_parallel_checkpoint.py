@@ -7,7 +7,30 @@ import numpy as np
 import pytest
 
 from pagnerf_tpu.parallel.sharding import (make_mesh, ray_sharding, replicate_tree,
-                                           shard_ray_batch)
+                                           shard_ray_batch,
+                                           shard_ray_batch_host_local)
+
+
+def test_host_local_batch_sharding_single_process():
+    """shard_ray_batch_host_local: on a single-process mesh it must produce
+    arrays identical (values AND shardings) to the device_put path — the API
+    contract real pods rely on, degraded to one host."""
+    mesh = make_mesh(8)
+    batch = {
+        "imgs": np.random.rand(2, 64, 3).astype(np.float32),
+        "semantics": np.random.randint(0, 3, (2, 64)),
+        "cam_idx": np.array([0, 1], np.int32),
+    }
+    a = shard_ray_batch(batch, mesh)
+    b = shard_ray_batch_host_local(batch, mesh)
+    for k in batch:
+        assert a[k].shape == b[k].shape, k
+        assert a[k].sharding == b[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # mis-sized ray axis raises (31 global rays on an 8-way mesh)
+    bad = {"imgs": np.random.rand(2, 31, 3).astype(np.float32)}
+    with pytest.raises(ValueError):
+        shard_ray_batch_host_local(bad, mesh)
 
 
 def test_mesh_and_batch_sharding():

@@ -49,19 +49,38 @@ def test_schedule_exercises_every_transition():
     # leak into voxel marching (256*128 steps/ray was a 34 GB program)
     assert cfg.samples_per_voxel == 2 and stages[sw + 1].num_steps == 256
 
-    # 4. post-prune sample compaction activates in stages built after a prune,
-    #    with a static budget scaled to the measured occupancy (a dense field
-    #    must not truncate rays; a sparse one compacts aggressively)
+    # 4a. post-prune PACKED layout (the round-4 default) activates in stages
+    #     built after a prune, budgeted at the batch-mean valid count
+    #     (1.15 * occ * S rounded up to 8) — ops/packed.py
+    import dataclasses as _dc
     trainer._pruned = True
     trainer._occ_frac = 0.10
     post = trainer.stage_for_epoch(sw + 1)
+    assert post.pack_steps == 32 and post.compact_steps == 0
+    trainer._occ_frac = 0.45
+    post = trainer.stage_for_epoch(sw + 1)
+    assert post.pack_steps == 136 and post.compact_steps == 0
+    trainer._occ_frac = 0.95
+    post = trainer.stage_for_epoch(sw + 1)
+    # degenerate pack budget falls through to the compact rule, which also
+    # declines on a 95%-dense field: no truncation of any kind
+    assert post.pack_steps == 0 and post.compact_steps == 0
+
+    # 4b. with packing disabled, per-ray compaction applies, with a static
+    #     budget scaled to the measured occupancy (a dense field must not
+    #     truncate rays; a sparse one compacts aggressively)
+    trainer.cfg = _dc.replace(trainer.cfg, packed_compaction=False)
+    trainer._occ_frac = 0.10
+    post = trainer.stage_for_epoch(sw + 1)
     assert post.compact_steps == post.num_steps // 4          # sparse: floor S/4
+    assert post.pack_steps == 0
     trainer._occ_frac = 0.45
     post = trainer.stage_for_epoch(sw + 1)
     assert post.num_steps // 4 < post.compact_steps < post.num_steps
     trainer._occ_frac = 0.95
     post = trainer.stage_for_epoch(sw + 1)
     assert post.compact_steps == 0                            # dense: no benefit
+    trainer.cfg = _dc.replace(trainer.cfg, packed_compaction=True)
     trainer._pruned = False
     del trainer._occ_frac
 

@@ -175,7 +175,8 @@ def test_seed_prune_conservative_and_enables_compaction():
 
     trainer, ds = make_trainer()
     trainer.cfg = _dc.replace(trainer.cfg, seed_prune_epoch=1, seed_keep_frac=0.2,
-                              compact_steps_after_prune=-1)
+                              compact_steps_after_prune=-1,
+                              packed_compaction=False)   # compact rule under test
     rng = np.random.default_rng(4)
     trainer.train_step(trainer.stage_for_epoch(0),
                        trainer.dataset.sample_batch(rng, 2, 64))
