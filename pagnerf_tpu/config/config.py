@@ -215,6 +215,14 @@ FLAG_GROUPS: Dict[str, list] = {
         # reference layout's epoch-0 empty-space skipping; see trainer.prune)
         ("seed-prune-epoch", int, -1, None, None),
         ("seed-keep-frac", float, 0.2, None, None),
+        # refresh the seeded occupancy every N epochs until the real prune
+        # (tracks the converging field like the reference's every-few-steps
+        # occupancy updates; TrainerConfig.seed_refresh_every)
+        ("seed-refresh-every", int, 0, None, None),
+        ("seed-refresh-keep-frac", float, 0.02, None, None),
+        # shrink-only prune masks (reference kaolin-SPC octrees only remove
+        # cells; free revival re-admits density-drifted dead regions)
+        ("prune-monotone", B, True, None, None),
         # cross-ray packed sample layout after the prune (TrainerConfig.
         # packed_compaction; ops/packed.py) — the TPU equivalent of the
         # reference's ragged packed tensors; default on, TPU-validated

@@ -161,6 +161,9 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         prune_at_start=args.prune_at_start,
         seed_prune_epoch=getattr(args, "seed_prune_epoch", -1),
         seed_keep_frac=getattr(args, "seed_keep_frac", 0.2),
+        seed_refresh_every=getattr(args, "seed_refresh_every", 0),
+        seed_refresh_keep_frac=getattr(args, "seed_refresh_keep_frac", 0.02),
+        prune_monotone=getattr(args, "prune_monotone", True),
         packed_compaction=getattr(args, "packed_compaction", True),
         # 0 is a documented sentinel (whole batch in one microbatch,
         # TrainerConfig.micro_batch_imgs) — only clamp negatives to it

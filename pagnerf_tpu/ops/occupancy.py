@@ -113,7 +113,8 @@ class OccupancyGrid:
     def update_from_density(self, density: jnp.ndarray,
                             decay: float = DENSITY_DECAY,
                             min_density: float = MIN_DENSITY,
-                            dilate: int = 0) -> "OccupancyGrid":
+                            dilate: int = 0,
+                            monotone: bool = False) -> "OccupancyGrid":
         """Prune step: occ <- max(density_at_jittered_cell_points, occ * decay);
         mask <- occ > min_density (reference panoptic_delta_nef.py:74-92).
         ``density`` is [res^3], ordered to match ``cell_centers_jittered``.
@@ -124,9 +125,21 @@ class OccupancyGrid:
         dead cells) — a 1-cell margin keeps surface neighbourhoods alive so the
         field can keep refining surface positions after the prune. The reference
         has no dilation (its prune fires late enough that surfaces are dense
-        through whole cells); disabled when 0."""
+        through whole cells); disabled when 0.
+
+        ``monotone``: AND the thresholded candidate with the CURRENT mask
+        before dilating — the reference's kaolin-SPC octree prune can only
+        REMOVE cells (wisp accelstruct semantics), whereas a free-revival dense
+        grid re-admits dead regions whose density drifts upward with zero
+        supervision (marching skips them, but fine-level hash collisions keep
+        nudging their tables: a measured flagship run's occupancy 'grew' from
+        a 31.5% seed to 95.4% at the real prune). Dilation runs AFTER the AND,
+        so the mask can still re-expand by ``dilate`` cells per prune to track
+        surface drift — bounded revival instead of free revival."""
         new_occ = jnp.maximum(self.occupancy * decay, density.reshape(-1))
         mask = new_occ > min_density
+        if monotone:
+            mask = jnp.logical_and(mask, self.mask)
         if dilate > 0:
             res = self.res
             m = mask.reshape(res, res, res).astype(jnp.float32)[None, ..., None]

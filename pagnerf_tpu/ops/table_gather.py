@@ -27,6 +27,39 @@ import jax.numpy as jnp
 LANES = 128
 
 
+def _direct_gather_mode() -> tuple:
+    """(mode, max_onehot_rows) for the direct-level forward gather.
+
+    PAGNERF_GATHER_DIRECT: "onehot" (default) — levels whose packed-row bound
+    is <= PAGNERF_ONEHOT_MAX_ROWS replace the hardware gather with an MXU
+    iota+eq+dot row select, larger direct levels gather from the sliced live
+    rows; "slice" — all direct levels gather from the sliced live rows;
+    "0" — disable (round-3 behaviour: every level gathers from the full table).
+
+    Defaults follow the round-4 TPU A/B (ROOFLINE.md): the hardware gather is
+    issue-rate-bound at ~150M rows/s independent of table size, so slicing
+    alone buys nothing, but the one-hot dot wins ~7x per unit for levels under
+    ~160 packed rows (FLOPs = N*rows*128*2 crosses the gather cost near ~1200
+    rows; the VPU one-hot build keeps the practical crossover lower)."""
+    import os
+    mode = os.environ.get("PAGNERF_GATHER_DIRECT", "onehot")
+    max_rows = int(os.environ.get("PAGNERF_ONEHOT_MAX_ROWS", "160"))
+    return mode, max_rows
+
+
+def _bf16_gather() -> bool:
+    """Cast table rows to bf16 for the FORWARD gather (PAGNERF_BF16_GATHER=1).
+
+    The row gather is partially byte-sensitive (f32->bf16 rows measured 1.16x
+    standalone, ROOFLINE.md); the reference itself stores encodings at half
+    precision (permuto_grid.py:65). Params stay f32 masters — only the gathered
+    read path quantises: features (and the dbary residuals computed from them)
+    carry bf16 values; table gradients are unaffected (built from idx/bary/g).
+    Default OFF until the end-to-end loss-trajectory A/B pins the quality cost."""
+    import os
+    return os.environ.get("PAGNERF_BF16_GATHER", "0") == "1"
+
+
 def _packed_rows(table: jnp.ndarray) -> jnp.ndarray:
     """[C, F] -> [C*F/128, 128] row-major repack (layout-free reshape)."""
     c, f = table.shape
@@ -38,26 +71,55 @@ def _packed_rows(table: jnp.ndarray) -> jnp.ndarray:
     return table.reshape((c * f) // LANES, LANES)
 
 
-def _gather_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather features for vertex indices. table [C, F], idx [V, N] -> [V, F, N]."""
+def _gather_feats(table: jnp.ndarray, idx: jnp.ndarray,
+                  rows_used: int = 0) -> jnp.ndarray:
+    """Gather features for vertex indices. table [C, F], idx [V, N] -> [V, F, N].
+
+    ``rows_used``: static bound on the packed rows the indices can address
+    (direct-indexed coarse levels, ops/permuto_encoding.direct_level_specs).
+    When >0 the forward exploits it per the direct-gather strategy
+    (_direct_gather_mode): slice the packed table to its live rows before the
+    hardware gather, or — for levels small enough that an MXU one-hot matmul
+    beats the ~150M rows/s hardware gather rate (ROOFLINE.md) — replace the
+    gather with an iota+eq+dot row select, the pattern this toolchain is known
+    to lower (CLAUDE.md rule 5). Both strategies return values identical to the
+    plain gather (the one-hot dot multiplies by exact 1.0/0.0 at HIGHEST
+    precision, so no operand rounding occurs)."""
     c, f = table.shape
     epr = LANES // f                      # entries per packed row
     packed = _packed_rows(table)
+    mode, max_rows = _direct_gather_mode()
+    use_direct = rows_used > 0 and mode != "0"
+    if use_direct:
+        packed = packed[:rows_used]       # static slice: live rows only
+    onehot = use_direct and mode == "onehot" and rows_used <= max_rows
     v, n = idx.shape
     outs = []
     for vi in range(v):                   # static, small (4 or 8)
-        # promise_in_bounds skips the bounds-check select (indices are hash-masked
-        # so always in range); keep the gather standalone via the barrier — fused
-        # into the select loop it degrades to element-at-a-time addressing
-        rows = packed.at[idx[vi] // epr].get(
-            mode="promise_in_bounds")                       # [N, 128] hw gather
-        rows = jax.lax.optimization_barrier(rows)
         lane0 = (idx[vi] % epr) * f                         # [N]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
-        per_f = []
-        for fi in range(f):
-            sel = (lanes == (lane0 + fi)[:, None])
-            per_f.append(jnp.sum(rows * sel, axis=1))       # [N]
+        if onehot:
+            # MXU row select: [rows, N] one-hot (lane-major — N on lanes) dotted
+            # with the [rows, 128] table slice. HIGHEST keeps f32 operands
+            # unrounded (bf16x3 split is exact for 1.0/0.0 x value anyway).
+            rowid = idx[vi] // epr                          # [N]
+            riota = jax.lax.broadcasted_iota(jnp.int32, (rows_used, n), 0)
+            oh = (riota == rowid[None, :]).astype(packed.dtype)
+            rows_mat = jnp.einsum("rl,rn->ln", packed, oh,
+                                  precision=jax.lax.Precision.HIGHEST)  # [128, N]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (LANES, n), 0)
+            per_f = [jnp.sum(rows_mat * (lanes == (lane0 + fi)[None, :]), axis=0)
+                     for fi in range(f)]                    # each [N]
+        else:
+            # promise_in_bounds skips the bounds-check select (indices are
+            # hash-masked so always in range); keep the gather standalone via
+            # the barrier — fused into the select loop it degrades to
+            # element-at-a-time addressing
+            rows = packed.at[idx[vi] // epr].get(
+                mode="promise_in_bounds")                   # [N, 128] hw gather
+            rows = jax.lax.optimization_barrier(rows)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
+            per_f = [jnp.sum(rows * (lanes == (lane0 + fi)[:, None]), axis=1)
+                     for fi in range(f)]                    # each [N]
         outs.append(jnp.stack(per_f))                       # [F, N]
     return jnp.stack(outs)                                  # [V, F, N]
 
@@ -194,10 +256,49 @@ def multilevel_table_gather(tables: jnp.ndarray, idx: jnp.ndarray,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mtg(rows_used, tables, idx, bary):
-    return _ml_forward(tables, idx, bary)
+    return _ml_forward(tables, idx, bary, rows_used)
 
 
-def _ml_forward(tables, idx, bary):
+def _fwd_split(rows_used) -> int:
+    """Static count of leading direct levels the FORWARD unrolls (sliced or
+    one-hot gathers need a per-level static row bound, so those levels leave
+    the lax.scan). Direct levels are always a coarse prefix (scales decrease
+    with level, permuto_encoding.direct_level_specs), so this is a contiguous
+    split — the backward already unrolls the same prefix (_split_levels)."""
+    mode, _ = _direct_gather_mode()
+    if mode == "0":
+        return 0
+    k = 0
+    while k < len(rows_used) and rows_used[k] > 0:
+        k += 1
+    return k
+
+
+def _ml_feats(tables, idx, rows_used):
+    """Per-level forward features [L, V, F, N]: unrolled direct prefix (static
+    rows_used each) + one scan over the hashed tail. bf16 row reads when
+    PAGNERF_BF16_GATHER=1 (_bf16_gather)."""
+    l = tables.shape[0]
+    if _bf16_gather():
+        tables = tables.astype(jnp.bfloat16)
+    k = _fwd_split(rows_used)
+
+    def body(_, level_in):
+        t, i = level_in
+        return None, _gather_feats(t, i)                  # [V, F, N]
+
+    if k == 0:
+        _, feats = jax.lax.scan(body, None, (tables, idx))
+        return feats                                      # [L, V, F, N]
+    parts = [_gather_feats(tables[lv], idx[lv], rows_used=rows_used[lv])
+             for lv in range(k)]
+    if k < l:
+        _, tail = jax.lax.scan(body, None, (tables[k:], idx[k:]))
+        return jnp.concatenate([jnp.stack(parts), tail])
+    return jnp.stack(parts)
+
+
+def _ml_forward(tables, idx, bary, rows_used=None):
     l, c, f = tables.shape
     n = idx.shape[2]
     if _use_pallas(tables, idx):
@@ -210,13 +311,26 @@ def _ml_forward(tables, idx, bary):
         packed = tables.reshape(l, rows, LANES)
         out = multilevel_gather_fwd(packed, idx, bary, f)
         return out[:, :, :n]
+    # Weight per level (never materialise [L, V, F, N] — the no-grad primal
+    # serves rendering, where that residual would cost ~1.2 GB at flagship N).
+    ru = rows_used if rows_used is not None else (0,) * l
+    if _bf16_gather():
+        tables = tables.astype(jnp.bfloat16)
+    k = _fwd_split(ru)
 
     def body(_, level_in):
         t, i, b = level_in
-        return None, table_gather_weighted(t, i, b)
+        return None, jnp.sum(_gather_feats(t, i) * b[:, None, :], axis=0)
 
-    _, out = jax.lax.scan(body, None, (tables, idx, bary))
-    return out
+    if k == 0:
+        _, out = jax.lax.scan(body, None, (tables, idx, bary))
+        return out
+    parts = [jnp.sum(_gather_feats(tables[lv], idx[lv], rows_used=ru[lv])
+                     * bary[lv][:, None, :], axis=0) for lv in range(k)]
+    if k < l:
+        _, tail = jax.lax.scan(body, None, (tables[k:], idx[k:], bary[k:]))
+        return jnp.concatenate([jnp.stack(parts), tail])
+    return jnp.stack(parts)
 
 
 def _ml_fwd(rows_used, tables, idx, bary):
@@ -224,10 +338,7 @@ def _ml_fwd(rows_used, tables, idx, bary):
         # Pallas path re-gathers in bwd (kernel keeps everything in VMEM anyway).
         return _ml_forward(tables, idx, bary), (None, tables, idx, bary)
     # XLA path: save forward features so the backward does ZERO table reads.
-    def body(_, level_in):
-        t, i = level_in
-        return None, _gather_feats(t, i)                  # [V, F, N]
-    _, feats = jax.lax.scan(body, None, (tables, idx))    # [L, V, F, N]
+    feats = _ml_feats(tables, idx, rows_used)             # [L, V, F, N]
     out = jnp.sum(feats * bary[:, :, None, :], axis=1)    # [L, F, N]
     return out, (feats, jax.ShapeDtypeStruct(tables.shape, tables.dtype), idx, bary)
 
@@ -339,7 +450,8 @@ _mtg.defvjp(_ml_fwd, _ml_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _gather_feats_dual(ta: jnp.ndarray, tb: jnp.ndarray, idx: jnp.ndarray):
+def _gather_feats_dual(ta: jnp.ndarray, tb: jnp.ndarray, idx: jnp.ndarray,
+                       rows_used: int = 0):
     """One row-gather fetches BOTH tables' features for an index.
 
     The dual-grid forward reads two [C, F] tables at IDENTICAL indices (the
@@ -350,11 +462,16 @@ def _gather_feats_dual(ta: jnp.ndarray, tb: jnp.ndarray, idx: jnp.ndarray):
     features in ONE lookup — half the lookups for the same bytes. Exact:
     gather-then-slice returns bit-identical features to two gathers.
 
-    ta/tb [C, F] -> (feats_a, feats_b), each [V, F, N].
+    ta/tb [C, F] -> (feats_a, feats_b), each [V, F, N]. ``rows_used`` is in
+    [C, F]-packing units (permuto_encoding.direct_level_specs); the [C, 2F]
+    concat packs the same entries into 2x-dense rows, so the dual bound is
+    2*rows_used (>= the exact ceil(entries*2F/128)).
     """
     c, f = ta.shape
     # (c*f) % 128 == 0 is required of every table anyway, so 2F always packs.
-    both = _gather_feats(jnp.concatenate([ta, tb], axis=1), idx)  # [V, 2F, N]
+    ru2 = min(2 * rows_used, (c * 2 * f) // LANES) if rows_used > 0 else 0
+    both = _gather_feats(jnp.concatenate([ta, tb], axis=1), idx,
+                         rows_used=ru2)                   # [V, 2F, N]
     return both[:, :f], both[:, f:]
 
 def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
@@ -384,7 +501,7 @@ def dual_multilevel_table_gather(tables_a: jnp.ndarray, tables_b: jnp.ndarray,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _dual_mtg(rows_used, tables_a, tables_b, idx, bary):
-    return _dual_forward(tables_a, tables_b, idx, bary)
+    return _dual_forward(tables_a, tables_b, idx, bary, rows_used)
 
 
 def _dual_use_pallas(c: int, f: int, v: int) -> bool:
@@ -394,7 +511,7 @@ def _dual_use_pallas(c: int, f: int, v: int) -> bool:
     return _use_pallas_cf(c, 2 * f, v) and _use_pallas_cf(c, f, v)
 
 
-def _dual_forward(tables_a, tables_b, idx, bary):
+def _dual_forward(tables_a, tables_b, idx, bary, rows_used=None):
     l, c, f = tables_a.shape
     v, n = idx.shape[1:]
     if _dual_use_pallas(int(c), int(f), int(v)):
@@ -409,14 +526,36 @@ def _dual_forward(tables_a, tables_b, idx, bary):
             tables_a.reshape(l, rows, LANES), tables_b.reshape(l, rows, LANES),
             idx, bary, f)
         return out_a[:, :, :n], out_b[:, :, :n]
+    ru = rows_used if rows_used is not None else (0,) * l
+    if _bf16_gather():
+        tables_a = tables_a.astype(jnp.bfloat16)
+        tables_b = tables_b.astype(jnp.bfloat16)
+    k = _fwd_split(ru)
 
     def body(_, level_in):
         ta, tb, i, b = level_in
         fa, fb = _gather_feats_dual(ta, tb, i)            # [V, F, N] each
         return None, (jnp.sum(fa * b[:, None, :], axis=0),
                       jnp.sum(fb * b[:, None, :], axis=0))
-    _, (out_a, out_b) = jax.lax.scan(body, None, (tables_a, tables_b, idx, bary))
-    return out_a, out_b
+
+    def one(lv):
+        fa, fb = _gather_feats_dual(tables_a[lv], tables_b[lv], idx[lv],
+                                    rows_used=ru[lv])
+        return (jnp.sum(fa * bary[lv][:, None, :], axis=0),
+                jnp.sum(fb * bary[lv][:, None, :], axis=0))
+
+    if k == 0:
+        _, (out_a, out_b) = jax.lax.scan(body, None,
+                                         (tables_a, tables_b, idx, bary))
+        return out_a, out_b
+    parts = [one(lv) for lv in range(k)]
+    pa = jnp.stack([p[0] for p in parts])
+    pb = jnp.stack([p[1] for p in parts])
+    if k < l:
+        _, (ta_, tb_) = jax.lax.scan(body, None, (tables_a[k:], tables_b[k:],
+                                                  idx[k:], bary[k:]))
+        return jnp.concatenate([pa, ta_]), jnp.concatenate([pb, tb_])
+    return pa, pb
 
 
 def _dual_fwd(rows_used, tables_a, tables_b, idx, bary):
@@ -425,19 +564,45 @@ def _dual_fwd(rows_used, tables_a, tables_b, idx, bary):
         # Pallas path re-gathers the A table in bwd for dbary (everything
         # stays VMEM-resident in the kernel), so no forward features are
         # saved — tables_a itself rides the residuals in spec_a's slot.
-        out = _dual_forward(tables_a, tables_b, idx, bary)
+        out = _dual_forward(tables_a, tables_b, idx, bary, rows_used)
         res = (None, tables_a,
                jax.ShapeDtypeStruct(tables_b.shape, tables_b.dtype), idx, bary)
         return out, res
+    # Capture the PARAM dtypes before any bf16 read-path cast: the backward
+    # casts the table gradients to these specs.
+    spec_a = jax.ShapeDtypeStruct(tables_a.shape, tables_a.dtype)
+    spec_b = jax.ShapeDtypeStruct(tables_b.shape, tables_b.dtype)
+    if _bf16_gather():
+        tables_a = tables_a.astype(jnp.bfloat16)
+        tables_b = tables_b.astype(jnp.bfloat16)
+    k = _fwd_split(rows_used)
 
     def body(_, level_in):
         ta, tb, i, b = level_in
         fa, fb = _gather_feats_dual(ta, tb, i)            # fa saved for dbary,
         return None, (fa, jnp.sum(fb * b[:, None, :], axis=0))   # fb NOT saved
-    _, (feats_a, out_b) = jax.lax.scan(body, None, (tables_a, tables_b, idx, bary))
+
+    def one(lv):
+        fa, fb = _gather_feats_dual(tables_a[lv], tables_b[lv], idx[lv],
+                                    rows_used=rows_used[lv])
+        return fa, jnp.sum(fb * bary[lv][:, None, :], axis=0)
+
+    if k == 0:
+        _, (feats_a, out_b) = jax.lax.scan(body, None,
+                                           (tables_a, tables_b, idx, bary))
+    else:
+        parts = [one(lv) for lv in range(k)]
+        fa_head = jnp.stack([p[0] for p in parts])
+        ob_head = jnp.stack([p[1] for p in parts])
+        if k < l:
+            _, (fa_tail, ob_tail) = jax.lax.scan(
+                body, None, (tables_a[k:], tables_b[k:], idx[k:], bary[k:]))
+            feats_a = jnp.concatenate([fa_head, fa_tail])
+            out_b = jnp.concatenate([ob_head, ob_tail])
+        else:
+            feats_a, out_b = fa_head, ob_head
     out_a = jnp.sum(feats_a * bary[:, :, None, :], axis=1)
-    res = (feats_a, jax.ShapeDtypeStruct(tables_a.shape, tables_a.dtype),
-           jax.ShapeDtypeStruct(tables_b.shape, tables_b.dtype), idx, bary)
+    res = (feats_a, spec_a, spec_b, idx, bary)
     return (out_a, out_b), res
 
 

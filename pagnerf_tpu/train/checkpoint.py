@@ -49,6 +49,7 @@ def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
         # off these; without them a resumed post-prune run silently trains the
         # (slower, differently-shaped) pre-prune stage
         "pruned": int(bool(getattr(trainer, "_pruned", False))),
+        "real_pruned": int(bool(getattr(trainer, "_real_pruned", False))),
         "occ_frac": float(getattr(trainer, "_occ_frac",
                                   float(np.asarray(trainer.occ.mask).mean()))),
     }
@@ -115,6 +116,10 @@ def load_checkpoint(path: str, trainer, model_format: str = "full") -> None:
         if "pruned" in state:
             trainer._pruned = bool(state["pruned"])
             trainer._occ_frac = float(state["occ_frac"])
+            # round-4 addition; older checkpoints: a pruned trainer past the
+            # schedule's real-prune epochs behaves identically either way, and
+            # a resumed seeded run merely refreshes once more — safe default
+            trainer._real_pruned = bool(state.get("real_pruned", 0))
         else:
             # legacy (round-2) checkpoint: derive from the restored mask — any
             # prune leaves occupancy below fully-dense

@@ -86,6 +86,9 @@ class TrainerConfig:
     # K jittered density samples per cell, then a 1-cell mask dilation margin
     prune_samples_per_cell: int = 4
     prune_dilate: int = 1
+    # shrink-only prune masks (reference kaolin-SPC parity; see prune()):
+    # dead cells can only re-enter through the post-AND dilation margin
+    prune_monotone: bool = True
     voxel_raymarch_epoch_start: int = 201
     samples_per_voxel: int = 2
 
@@ -130,6 +133,21 @@ class TrainerConfig:
     # densest instead — a too-aggressive early prune wipes the scene
     # (docs/convergence diagnosis #2)
     seed_keep_frac: float = 0.2
+    # Refresh the seeded occupancy every N epochs until the reference's real
+    # prune fires: the CUDA reference's instant-ngp-style occupancy bitfield
+    # updates every few steps (kaolin-wisp accelstructs), so a one-shot seed
+    # that freezes occupancy at its epoch-20 estimate for 180 epochs is LESS
+    # faithful than tracking the converging field — and it strands the packed
+    # layout's sample budget at the seed-time occupied fraction (~25%) when
+    # the field may have converged to a few percent. Each refresh re-runs the
+    # conservative seed prune (revival-safe: density is re-evaluated at ALL
+    # cells, occupancy.update_from_density); the pack/compact budgets follow
+    # the measured occupancy into the next stage. 0 = off.
+    seed_refresh_every: int = 0
+    # keep floor for REFRESHES (the first seed's generous seed_keep_frac floor
+    # protects an unconverged field; by refresh time thresholding is
+    # trustworthy, so only a scene-wipe guard remains)
+    seed_refresh_keep_frac: float = 0.02
 
     # wisp-stock multi-LoD training: zero the feature weights of levels above a
     # random cutoff each step (reference --random-lod flag). Implemented through the
@@ -595,7 +613,8 @@ class PanopticTrainer:
         return {k: v / num_micro for k, v in acc_l.items()}
 
     # -------------------------------------------------------------- prune
-    def prune(self, chunk: int = 65536, seed: bool = False):
+    def prune(self, chunk: int = 65536, seed: bool = False,
+              keep_frac: float = None):
         """Occupancy maintenance (reference nef.prune + optimizer re-init,
         trainer.py:336-358, panoptic_delta_nef.py:63-104).
 
@@ -640,10 +659,18 @@ class PanopticTrainer:
             d = jnp.concatenate(dens)
             density = d if density is None else jnp.maximum(density, d)
         dilate = getattr(self.cfg, "prune_dilate", 1) + (1 if seed else 0)
-        new_occ = self.occ.update_from_density(density, dilate=dilate)
+        # monotone: reference-parity shrink-only semantics (kaolin SPC octrees
+        # only remove cells) — free revival re-admits zero-supervision regions
+        # whose density drifted up (see occupancy.update_from_density). The
+        # first prune runs from the virgin all-true mask, so monotone is a
+        # no-op there by construction.
+        new_occ = self.occ.update_from_density(
+            density, dilate=dilate,
+            monotone=getattr(self.cfg, "prune_monotone", True))
         if seed:
             frac = float(new_occ.mask.mean())
-            keep = float(getattr(self.cfg, "seed_keep_frac", 0.2))
+            keep = float(keep_frac if keep_frac is not None
+                         else getattr(self.cfg, "seed_keep_frac", 0.2))
             if frac < keep:
                 # unconverged field below the reference density threshold:
                 # keep the top-keep_frac densest cells (+ dilation) instead.
@@ -661,6 +688,7 @@ class PanopticTrainer:
         if not seed:
             # optimizer re-init after topology change (trainer.py:357-358)
             self.opt_state = self.tx.init(self.params)
+            self._real_pruned = True   # stops seed refreshes (seed_refresh_every)
         log.info("%spruned occupancy: %.1f%% cells occupied",
                  "seed-" if seed else "", 100 * self._occ_frac)
 
@@ -671,12 +699,27 @@ class PanopticTrainer:
                 or epoch == cfg.prune_at_epoch
                 or (cfg.prune_at_start and epoch == 0))
 
+    def maybe_seed_prune(self, epoch: int) -> None:
+        """Early occupancy seeding + periodic refreshes (seed_prune_epoch /
+        seed_refresh_every): the first trigger runs the conservative seed
+        prune; afterwards, every seed_refresh_every epochs until the
+        reference's REAL prune fires, re-measure the converging field with the
+        tighter refresh keep floor so the pack/compact budgets track it."""
+        cfg = self.cfg
+        if getattr(cfg, "seed_prune_epoch", -1) < 0:
+            return
+        if epoch >= cfg.seed_prune_epoch and not getattr(self, "_pruned", False):
+            self.prune(seed=True)
+        elif (getattr(cfg, "seed_refresh_every", 0) > 0
+              and getattr(self, "_pruned", False)
+              and not getattr(self, "_real_pruned", False)
+              and epoch > cfg.seed_prune_epoch
+              and (epoch - cfg.seed_prune_epoch) % cfg.seed_refresh_every == 0):
+            self.prune(seed=True, keep_frac=cfg.seed_refresh_keep_frac)
+
     def run_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
-        if (getattr(cfg, "seed_prune_epoch", -1) >= 0
-                and epoch >= cfg.seed_prune_epoch
-                and not getattr(self, "_pruned", False)):
-            self.prune(seed=True)
+        self.maybe_seed_prune(epoch)
         stage = self.stage_for_epoch(epoch)
         if cfg.lod_anneling and epoch >= cfg.lod_annel_epoch_start:
             nef = self.pipeline.nef

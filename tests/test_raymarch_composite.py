@@ -170,6 +170,34 @@ def test_occupancy_prune_dilation():
     assert float(new.occupancy.sum()) == 10.0
 
 
+def test_occupancy_monotone_prune():
+    """monotone=True (reference kaolin-SPC parity: octree prunes only REMOVE
+    cells) blocks free revival of dead cells whose density drifted above the
+    threshold, while dilation still re-expands a bounded 1-cell margin."""
+    occ = OccupancyGrid.create(level=2)
+    res = occ.res
+    c = res // 2
+    flat = int(np.ravel_multi_index((c, c, c), (res, res, res)))
+    far = int(np.ravel_multi_index((0, 0, 0), (res, res, res)))
+    density = jnp.zeros((res ** 3,)).at[flat].set(10.0)
+    seeded = occ.update_from_density(density, monotone=True)  # virgin: no-op AND
+    assert bool(seeded.mask[flat]) and not bool(seeded.mask[far])
+
+    # a dead far cell's density drifts up (hash-collision updates, zero
+    # supervision): free revival re-admits it, monotone does not
+    drift = jnp.zeros((res ** 3,)).at[flat].set(10.0).at[far].set(10.0)
+    revived = seeded.update_from_density(drift)
+    assert bool(revived.mask[far])
+    kept = seeded.update_from_density(drift, monotone=True)
+    assert not bool(kept.mask[far]) and bool(kept.mask[flat])
+
+    # bounded re-expansion: dilation AFTER the AND grows 1 cell per prune
+    kept_d = seeded.update_from_density(drift, monotone=True, dilate=1)
+    mask = np.asarray(kept_d.mask).reshape(res, res, res)
+    assert mask[c - 1:c + 2, c - 1:c + 2, c - 1:c + 2].all()
+    assert not mask[0, 0, 0]
+
+
 def test_voxel_probe_finds_thin_wall_regardless_of_num_steps():
     """The first-hit probe resolution follows the GRID, not num_steps: a
     1-cell-thick occupied wall must be found (and its front face covered via

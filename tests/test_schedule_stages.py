@@ -119,6 +119,46 @@ def test_schedule_exercises_every_transition():
     assert last.raymarch_type == "voxel" and last.use_sem and last.use_inst
 
 
+def test_seed_refresh_schedule():
+    """seed_refresh_every re-runs the conservative seed prune on its cadence
+    between the first seed and the reference's real prune — with the tighter
+    refresh keep floor — then stops forever once the real prune fires
+    (trainer.maybe_seed_prune)."""
+    import dataclasses
+
+    trainer = build()
+    trainer.cfg = dataclasses.replace(trainer.cfg, seed_prune_epoch=4,
+                                      seed_refresh_every=10,
+                                      seed_refresh_keep_frac=0.03)
+    calls = []
+
+    def fake_prune(seed=False, keep_frac=None, chunk=65536):
+        calls.append((seed, keep_frac))
+        trainer._pruned = True
+        if not seed:
+            trainer._real_pruned = True
+
+    trainer.prune = fake_prune
+    for e in range(40):
+        trainer.maybe_seed_prune(e)
+        if e == 30:   # the reference's real prune
+            trainer.prune(seed=False)
+    # first seed at 4 (default floor), refreshes at 14 and 24 (tight floor);
+    # 34 is suppressed by the real prune at 30
+    assert calls == [(True, None), (True, 0.03), (True, 0.03), (False, None)]
+
+    # refresh results drive the packed budget through stage_for_epoch
+    trainer._occ_frac = 0.25
+    wide = trainer.stage_for_epoch(trainer.cfg.voxel_raymarch_epoch_start + 1)
+    trainer._occ_frac = 0.05
+    tight = trainer.stage_for_epoch(trainer.cfg.voxel_raymarch_epoch_start + 1)
+    assert 0 < tight.pack_steps < wide.pack_steps
+
+    # off by default: the flag must be opt-in (schedule parity with round 3)
+    t2 = build()
+    assert t2.cfg.seed_refresh_every == 0
+
+
 def test_rgb_only_stage_never_touches_panoptic_params():
     """The schedule-weighted benchmark credits rgb-only epochs (the reference's
     epochs < sem/inst_epoch_start — 600 of 801) with skipping the delta grid

@@ -165,6 +165,95 @@ def test_dual_interleaved_gather_exact():
                                       np.asarray(_gather_feats(tb, idx)))
 
 
+def _direct_case(key, l=5, c=512, f=2, v=4, n=201):
+    """Tables/indices with a 3-level direct prefix whose indices honour the
+    per-level live-entry bound (as permuto_encoding's direct indexing does)."""
+    ka, kb, ki, kw = jax.random.split(key, 4)
+    rows_used = (2, 3, 5, 0, 0)
+    epr = 128 // f
+    ta = jax.random.normal(ka, (l, c, f))
+    tb = jax.random.normal(kb, (l, c, f))
+    idx = np.array(jax.random.randint(ki, (l, v, n), 0, c))
+    for lv, r in enumerate(rows_used):
+        if r:
+            idx[lv] = idx[lv] % (r * epr)
+    bary = jax.random.uniform(kw, (l, v, n))
+    return ta, tb, jnp.asarray(idx), bary, rows_used
+
+
+def test_direct_gather_strategies_match(monkeypatch):
+    """The sliced-table and MXU one-hot forward strategies for direct levels
+    (PAGNERF_GATHER_DIRECT, ROOFLINE.md lever 1) return per-vertex features
+    BIT-identical to the full-table gather; end-to-end outputs and grads agree
+    to float-reassociation tolerance (the unrolled-vs-scanned V-sum
+    reassociates at ~1e-7)."""
+    from pagnerf_tpu.ops import table_gather as tg
+
+    ta, tb, idx, bary, rows_used = _direct_case(jax.random.PRNGKey(13))
+
+    def run(mode):
+        monkeypatch.setenv("PAGNERF_GATHER_DIRECT", mode)
+
+        def loss(t1, t2, b):
+            oa, ob = tg.dual_multilevel_table_gather(t1, t2, idx, b, rows_used)
+            o1 = tg.multilevel_table_gather(t1, idx, b, rows_used)
+            return jnp.sum(oa ** 2) + jnp.sum(ob ** 2) + jnp.sum(o1 * ob)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(ta, tb, bary)
+        feats = [np.asarray(tg._gather_feats(ta[lv], idx[lv],
+                                             rows_used=rows_used[lv]))
+                 for lv in range(3)]
+        return float(val), grads, feats
+
+    v0, g0, f0 = run("0")
+    for mode in ("slice", "onehot"):
+        v1, g1, f1 = run(mode)
+        for a, b in zip(f0, f1):   # gather values themselves: exact
+            np.testing.assert_array_equal(a, b, err_msg=mode)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6, err_msg=mode)
+        for a, b, name in zip(g0, g1, ("dta", "dtb", "dbary")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                       err_msg=f"{mode} {name}")
+
+
+def test_onehot_rows_threshold(monkeypatch):
+    """Levels above PAGNERF_ONEHOT_MAX_ROWS fall back to the sliced hardware
+    gather inside onehot mode — outputs stay exact either way."""
+    from pagnerf_tpu.ops import table_gather as tg
+
+    ta, tb, idx, bary, rows_used = _direct_case(jax.random.PRNGKey(17))
+    monkeypatch.setenv("PAGNERF_GATHER_DIRECT", "onehot")
+    monkeypatch.setenv("PAGNERF_ONEHOT_MAX_ROWS", "3")   # level 2 (rows 5) -> slice
+    out = tg.multilevel_table_gather(ta, idx, bary, rows_used)
+    monkeypatch.setenv("PAGNERF_GATHER_DIRECT", "0")
+    ref = tg.multilevel_table_gather(ta, idx, bary, rows_used)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_bf16_gather_read_path(monkeypatch):
+    """PAGNERF_BF16_GATHER=1 (ROOFLINE.md lever 2) quantises the gather READ
+    path only: outputs track f32 within bf16 tolerance, and all gradients keep
+    the f32 param dtype (the masters never quantise)."""
+    from pagnerf_tpu.ops import table_gather as tg
+
+    ta, tb, idx, bary, rows_used = _direct_case(jax.random.PRNGKey(19))
+
+    def loss(t1, t2, b):
+        oa, ob = tg.dual_multilevel_table_gather(t1, t2, idx, b, rows_used)
+        o1 = tg.multilevel_table_gather(t1, idx, b, rows_used)
+        return jnp.sum(oa ** 2) + jnp.sum(ob ** 2) + jnp.sum(o1 * ob)
+
+    v0, g0 = jax.value_and_grad(loss, argnums=(0, 1, 2))(ta, tb, bary)
+    monkeypatch.setenv("PAGNERF_BF16_GATHER", "1")
+    v1, g1 = jax.value_and_grad(loss, argnums=(0, 1, 2))(ta, tb, bary)
+    assert all(g.dtype == jnp.float32 for g in g1)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-2)
+    for a, b, name in zip(g0, g1, ("dta", "dtb", "dbary")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2,
+                                   atol=5e-2 * float(jnp.abs(a).max()),
+                                   err_msg=name)
+
+
 def test_rejects_feature_dim_not_dividing_lanes():
     """f must divide 128: an entry whose flat offset spans a packed-row
     boundary silently reads the wrong lanes (confirmed: table [384, 3], entry
