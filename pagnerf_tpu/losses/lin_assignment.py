@@ -9,10 +9,10 @@ take an NLL toward them. The "things" variant reserves slot 0 for stuff and supp
 repeated-ID rejection via per-instance 3-D centres (utils/outlier_rejection.py in the
 reference; here losses/outlier cost fused into the cost matrix on device).
 
-TPU design: label statistics are one-hot matmuls (MXU); the only host round-trip is
-the tiny (<= 200 x 200) Hungarian solve via ``jax.pure_callback``. Cost rows for
-labels absent from the batch are zero and resolved dynamically inside the callback, so
-all device shapes stay static.
+TPU design: label statistics are one-hot matmuls (MXU); the Hungarian solve runs
+ON DEVICE (ops/assignment.py — the axon runtime has no host callbacks). Cost rows
+for labels absent from the batch are masked via ``present``, so all device shapes
+stay static.
 """
 from __future__ import annotations
 
@@ -20,12 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.assignment import auction_assign
+from ..ops.assignment import lap_assign
 
 
 def hungarian_host(cost: np.ndarray, present: np.ndarray) -> np.ndarray:
     """Host-side (scipy) Hungarian over present rows only — the golden reference for
-    the device auction solver; NOT used in the jitted path (the axon TPU runtime has
+    the device solver; NOT used in the jitted path (the axon TPU runtime has
     no host callbacks). Returns col assignment per row (absent rows -> 0)."""
     from scipy.optimize import linear_sum_assignment
     out = np.zeros(cost.shape[0], np.int32)
@@ -40,10 +40,12 @@ def hungarian_host(cost: np.ndarray, present: np.ndarray) -> np.ndarray:
 
 
 def hungarian_assign(cost: jnp.ndarray, present: jnp.ndarray) -> jnp.ndarray:
-    """Jittable device-side assignment (parallel auction, ops/assignment.py) standing
-    in for the reference's host scipy Hungarian (lin_assignment_things.py:44). Stays
-    on-device: no host round-trip inside the train step."""
-    return auction_assign(jnp.nan_to_num(cost.astype(jnp.float32)), present)
+    """Jittable device-side assignment (Jonker-Volgenant shortest augmenting
+    paths, ops/assignment.py) standing in for the reference's host scipy
+    Hungarian (lin_assignment_things.py:44) — the same algorithm scipy runs,
+    so the matching cost is exact. Stays on-device: no host round-trip inside
+    the train step."""
+    return lap_assign(jnp.nan_to_num(cost.astype(jnp.float32)), present)
 
 
 # ---------------------------------------------------------------------------

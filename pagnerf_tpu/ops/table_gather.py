@@ -36,13 +36,15 @@ def _direct_gather_mode() -> tuple:
     rows; "slice" — all direct levels gather from the sliced live rows;
     "0" — disable (round-3 behaviour: every level gathers from the full table).
 
-    Defaults follow the round-4 TPU A/B (ROOFLINE.md): the hardware gather is
-    issue-rate-bound at ~150M rows/s independent of table size, so slicing
-    alone buys nothing, but the one-hot dot wins ~7x per unit for levels under
-    ~160 packed rows (FLOPs = N*rows*128*2 crosses the gather cost near ~1200
-    rows; the VPU one-hot build keeps the practical crossover lower)."""
+    Default "0" per the round-4 end-to-end TPU A/B (ROOFLINE.md): the one-hot
+    dot wins ~7x per unit STANDALONE for levels under ~160 packed rows, but
+    the full 24-level dual forward measured 764 ms (onehot) vs 760 ms
+    (hardware gather) — XLA already hides the coarse levels' gather latency
+    under the large hashed levels' stream, so there is nothing to win end to
+    end and the unrolled direct prefix only adds compile surface. The modes
+    stay available for re-probing on other shapes/toolchains."""
     import os
-    mode = os.environ.get("PAGNERF_GATHER_DIRECT", "onehot")
+    mode = os.environ.get("PAGNERF_GATHER_DIRECT", "0")
     max_rows = int(os.environ.get("PAGNERF_ONEHOT_MAX_ROWS", "160"))
     return mode, max_rows
 

@@ -9,8 +9,9 @@ into a hashable ``StageConfig``. The train step is jitted once per distinct stag
 (a handful across an 800-epoch run) and is otherwise a single fused XLA program:
 pose transform -> raymarch -> NeF -> compositing -> losses -> grads -> Adam. There is
 NO host round-trip in the hot path: where the reference leaves the GPU for scipy's
-Hungarian solve (SURVEY.md §3.1), the assignment runs as a device-side auction solver
-(ops/assignment.py) — axon's PJRT runtime has no host callbacks (CLAUDE.md rule 3).
+Hungarian solve (SURVEY.md §3.1), the assignment runs as a device-side exact
+Jonker-Volgenant solver (ops/assignment.py) — axon's PJRT runtime has no host
+callbacks (CLAUDE.md rule 3).
 """
 from __future__ import annotations
 

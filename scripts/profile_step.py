@@ -159,19 +159,21 @@ def main():
                    jax.random.uniform(k2, (19, rays, compact))),
                   f"integration+composite grad (R={rays}, S={compact}, C=19)")
 
-    # ---- 3d. device auction assignment (panoptic-loss tail) ----------------
+    # ---- 3d. device assignment solve (panoptic-loss tail) ------------------
     # One [K, M] solve per image per step (lin_assignment_things); K = GT
     # instances present (~20 upper bound on the synthetic/BUP20 scenes),
     # M = 200 slots. The while_loop is sequential on-device — this probe
-    # decides whether the auction is a visible share of the panoptic tail.
-    from pagnerf_tpu.ops.assignment import auction_assign
+    # decides whether the solver is a visible share of the panoptic tail.
+    # (Round-4 history: the eps-scaled auction burned its full 4000-iteration
+    # cap every solve = 267 ms/step; the JV rewrite measures ~20x less.)
+    from pagnerf_tpu.ops.assignment import lap_assign
 
     imgs_per_step = int(os.environ.get("BENCH_BATCH", 6))
 
     @jax.jit
     def assign_step(cost):
         present = jnp.ones(cost.shape[1], bool)
-        assign = jax.vmap(lambda c: auction_assign(c, present))(cost)
+        assign = jax.vmap(lambda c: lap_assign(c, present))(cost)
         # evolve the costs from the result so each iteration depends on the
         # previous solve (axon caches repeated launches otherwise)
         bump = jax.nn.one_hot(jnp.maximum(assign, 0), cost.shape[-1]) * 1e-4

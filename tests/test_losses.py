@@ -214,16 +214,15 @@ def test_supcon_single_label_image_contributes_zero():
     assert float(v) == 0.0
 
 
-def test_auction_completion_yields_valid_matching():
-    from pagnerf_tpu.ops.assignment import auction_assign
+def test_assignment_yields_valid_matching():
+    """Every active row must receive a DISTINCT column (a collapse onto
+    column 0 would train several GT labels onto the same slot)."""
+    from pagnerf_tpu.ops.assignment import lap_assign
 
-    """With max_iters=0 every active row is left unassigned: the feasibility
-    completion must still return DISTINCT columns (the old behavior collapsed
-    all leftovers onto column 0)."""
     key = jax.random.PRNGKey(0)
     cost = jax.random.uniform(key, (6, 8))
     present = jnp.ones((6,), bool)
-    out = np.asarray(auction_assign(cost, present, max_iters=0))
+    out = np.asarray(lap_assign(cost, present))
     assert len(set(out.tolist())) == 6, f"duplicate slots: {out}"
 
 
