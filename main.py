@@ -83,7 +83,7 @@ def main(argv=None):
         for k, v in totals.items():
             writer.add_scalar(f"Loss/{k}", v, epoch)
         if args.valid_every > 0 and (epoch + 1) % args.valid_every == 0:
-            metrics = validate(trainer, epoch, log_dir=log_dir)
+            metrics = validate(trainer, epoch, log_dir=log_dir, writer=writer)
             log.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
             for k, v in metrics.items():
                 writer.add_scalar(k, v, epoch)

@@ -191,6 +191,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         inst_min_mask_px=max(getattr(args, "inst_min_mask_px", 100), 0),
         num_val_frames_to_save=max(args.num_val_frames_to_save, 1),
         render_val_labels=args.render_val_labels,
+        log_2d=getattr(args, "log_2d", False),
         save_preds=args.save_preds,
         save_grid=args.save_grid,
         num_clustering_samples=args.num_clustering_samples or 20000,

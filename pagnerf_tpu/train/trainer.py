@@ -189,6 +189,9 @@ class TrainerConfig:
     inst_min_mask_px: int = 100
     num_val_frames_to_save: int = 1
     render_val_labels: bool = True
+    # --log-2d: mirror saved validation frames to TensorBoard images
+    # (reference config_parser.py:365; validation.evaluate_metrics)
+    log_2d: bool = False
     save_preds: bool = False
     save_grid: bool = False
     num_clustering_samples: int = 20000
@@ -615,7 +618,7 @@ class PanopticTrainer:
 
     # -------------------------------------------------------------- prune
     def prune(self, chunk: int = 65536, seed: bool = False,
-              keep_frac: float = None):
+              keep_frac: float = None, refresh: bool = False):
         """Occupancy maintenance (reference nef.prune + optimizer re-init,
         trainer.py:336-358, panoptic_delta_nef.py:63-104).
 
@@ -659,7 +662,14 @@ class PanopticTrainer:
                 dens.append(density_at(self.params, centersT[:, i:i + chunk]))
             d = jnp.concatenate(dens)
             density = d if density is None else jnp.maximum(density, d)
-        dilate = getattr(self.cfg, "prune_dilate", 1) + (1 if seed else 0)
+        # Refreshes (seed_refresh_every) re-measure a mask whose previous
+        # dilation margin is ALREADY part of the monotone AND baseline —
+        # re-dilating every refresh ratchets occupancy UP by one shell per
+        # refresh instead of tracking the converging field down (measured on
+        # the first 120v flagship run: seed 33.1% -> refresh 40.2%). So
+        # refreshes threshold+AND only; the first seed keeps its extra margin.
+        dilate = 0 if refresh else (
+            getattr(self.cfg, "prune_dilate", 1) + (1 if seed else 0))
         # monotone: reference-parity shrink-only semantics (kaolin SPC octrees
         # only remove cells) — free revival re-admits zero-supervision regions
         # whose density drifted up (see occupancy.update_from_density). The
@@ -716,7 +726,8 @@ class PanopticTrainer:
               and not getattr(self, "_real_pruned", False)
               and epoch > cfg.seed_prune_epoch
               and (epoch - cfg.seed_prune_epoch) % cfg.seed_refresh_every == 0):
-            self.prune(seed=True, keep_frac=cfg.seed_refresh_keep_frac)
+            self.prune(seed=True, keep_frac=cfg.seed_refresh_keep_frac,
+                       refresh=True)
 
     def run_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg

@@ -76,9 +76,11 @@ def train_clustering(trainer, num_samples: int = 20000) -> Optional[MeanShift]:
 
 def evaluate_metrics(trainer, epoch: int, data: Dict,
                      clustering: Optional[MeanShift] = None,
-                     log_dir: Optional[str] = None) -> Dict[str, float]:
+                     log_dir: Optional[str] = None,
+                     writer=None) -> Dict[str, float]:
     """Render every image in ``data`` and accumulate the metric suite
-    (reference evaluate_metrics, trainer.py:651-941)."""
+    (reference evaluate_metrics, trainer.py:651-941). With --log-2d and a
+    ``writer``, saved validation frames are mirrored to TensorBoard images."""
     cfg = trainer.cfg
     sem_info = trainer.dataset.semantic_info
     h, w = data["imgs"].shape[1:3]
@@ -209,6 +211,7 @@ def evaluate_metrics(trainer, epoch: int, data: Dict,
                      else set(range(0, num_imgs, every)))
         if getattr(cfg, "render_val_labels", True):
             save_idxs |= labeled_idxs
+        log_2d = writer is not None and getattr(cfg, "log_2d", False)
         for i in sorted(save_idxs):
             write_png(os.path.join(media_dir, f"{i}.png"), frames["rgb"][i])
             write_png(os.path.join(media_dir, f"{i}_gt.png"),
@@ -217,6 +220,14 @@ def evaluate_metrics(trainer, epoch: int, data: Dict,
                 write_png(os.path.join(media_dir, f"{i}_sem.png"), frames["sem"][i])
             if frames["inst"]:
                 write_png(os.path.join(media_dir, f"{i}_inst.png"), frames["inst"][i])
+            if log_2d:
+                # --log-2d: mirror the saved frames into TensorBoard
+                # (reference trainer.py log_images / config_parser.py:365)
+                writer.add_image(f"val/{i}/rgb", frames["rgb"][i], epoch)
+                if frames["sem"]:
+                    writer.add_image(f"val/{i}/semantics", frames["sem"][i], epoch)
+                if frames["inst"]:
+                    writer.add_image(f"val/{i}/instances", frames["inst"][i], epoch)
             if i in labeled_idxs and getattr(cfg, "render_val_labels", True):
                 if use_sem:
                     write_png(os.path.join(media_dir, f"{i}_sem_gt.png"), label2rgb(
@@ -296,10 +307,11 @@ def append_metrics_csv(path: str, row: Dict):
 
 
 def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None,
-             split: str = "val") -> Dict[str, float]:
+             split: str = "val", writer=None) -> Dict[str, float]:
     """Full validation pass (reference validate, trainer.py:943-999).
     ``split`` honours the --valid-split flag ('val' default; 'train' evaluates
-    the training views, e.g. for overfit/pose-drift diagnosis)."""
+    the training views, e.g. for overfit/pose-drift diagnosis). ``writer``
+    receives TensorBoard images of the saved frames under --log-2d."""
     clustering = None
     if getattr(trainer.pipeline.nef, "use_clustering", False) and \
             epoch >= trainer.cfg.inst_epoch_start:
@@ -320,4 +332,4 @@ def validate(trainer, epoch: int = 0, log_dir: Optional[str] = None,
     log.info("validation: %d images at %dx%d", data["imgs"].shape[0],
              data["imgs"].shape[2], data["imgs"].shape[1])
     return evaluate_metrics(trainer, epoch, data, clustering=clustering,
-                            log_dir=log_dir)
+                            log_dir=log_dir, writer=writer)

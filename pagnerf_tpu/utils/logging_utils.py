@@ -49,6 +49,19 @@ class SummaryWriter:
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
 
+    def add_image(self, tag: str, img, step: int):
+        """Validation-render image logging (--log-2d, reference
+        config_parser.py:365 / trainer.py log_images). ``img`` is [H, W, 3]
+        uint8. JSONL records the event (tag/step/shape) so headless runs keep
+        an inspectable trace; the pixels go to TensorBoard when available."""
+        import numpy as np
+        img = np.asarray(img)
+        self._f.write(json.dumps({"tag": tag, "image_shape": list(img.shape),
+                                  "step": int(step), "wall": time.time()}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_image(tag, img, step, dataformats="HWC")
+
     def close(self):
         self._f.close()
         if self._tb is not None:

@@ -150,6 +150,26 @@ def test_validation_media_saved(tmp_path):
     assert (tmp_path / "metrics.csv").exists()
 
 
+def test_validation_log_2d_writes_tb_images(tmp_path):
+    """--log-2d mirrors the saved validation frames to the SummaryWriter
+    (reference config_parser.py:365): one image event per saved frame/channel
+    in events.jsonl (and TensorBoard when installed)."""
+    import dataclasses
+
+    from pagnerf_tpu.train.validation import validate
+
+    trainer = make_tiny_trainer()
+    trainer.cfg = dataclasses.replace(trainer.cfg, log_2d=True)
+    w = SummaryWriter(str(tmp_path / "tb"))
+    validate(trainer, epoch=0, log_dir=str(tmp_path), writer=w)
+    w.close()
+    events = [json.loads(l) for l in
+              open(tmp_path / "tb" / "events.jsonl").read().strip().split("\n")]
+    img_events = [e for e in events if "image_shape" in e]
+    assert img_events and img_events[0]["tag"].startswith("val/")
+    assert len(img_events[0]["image_shape"]) == 3
+
+
 def test_perf_flag_activates_trainer_timer():
     # --perf threads an active PerfTimer through the trainer loop (reference
     # config_parser.py:56 + PerfTimer at pc_nerf/trainer.py:393)

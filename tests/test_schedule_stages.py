@@ -132,8 +132,8 @@ def test_seed_refresh_schedule():
                                       seed_refresh_keep_frac=0.03)
     calls = []
 
-    def fake_prune(seed=False, keep_frac=None, chunk=65536):
-        calls.append((seed, keep_frac))
+    def fake_prune(seed=False, keep_frac=None, chunk=65536, refresh=False):
+        calls.append((seed, keep_frac, refresh))
         trainer._pruned = True
         if not seed:
             trainer._real_pruned = True
@@ -143,9 +143,12 @@ def test_seed_refresh_schedule():
         trainer.maybe_seed_prune(e)
         if e == 30:   # the reference's real prune
             trainer.prune(seed=False)
-    # first seed at 4 (default floor), refreshes at 14 and 24 (tight floor);
+    # first seed at 4 (default floor + dilation margin), refreshes at 14 and
+    # 24 (tight floor, refresh=True -> NO re-dilation: re-adding the shell
+    # each refresh ratchets occupancy up instead of tracking it down);
     # 34 is suppressed by the real prune at 30
-    assert calls == [(True, None), (True, 0.03), (True, 0.03), (False, None)]
+    assert calls == [(True, None, False), (True, 0.03, True),
+                     (True, 0.03, True), (False, None, False)]
 
     # refresh results drive the packed budget through stage_for_epoch
     trainer._occ_frac = 0.25
