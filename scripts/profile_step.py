@@ -200,6 +200,54 @@ def main():
     t_mlp = loop(mlp_step, (dec.init(kc, feats0), feats0),
                  f"decoder MLP grad at N={n}")
 
+    # ---- 5. voxel raymarch (probe + refit + mask) at the post regime --------
+    # The voxel-mode path runs EVERY post step: a sqrt(3)*res-probe first-hit
+    # search per ray + the per-sample occupancy mask over the refit span
+    # (ops/raymarch.py:119-131). ~5.5M + R*S row-gathers from the bitgrid.
+    from pagnerf_tpu.core.rays import Rays
+    from pagnerf_tpu.ops.occupancy import OccupancyGrid
+    from pagnerf_tpu.ops.raymarch import raymarch
+
+    occ_level = int(os.environ.get("BENCH_OCC_LEVEL", 7))
+    occ = OccupancyGrid.create(level=occ_level)
+    kmask = jax.random.uniform(kb, (occ.res ** 3,)) < 0.02   # post-like sparsity
+    occ = occ.replace(mask=kmask)
+    voxel_steps = int(os.environ.get("BENCH_STEPS", 512)) // 2
+
+    @jax.jit
+    def march_step(state):
+        o, d = state
+        r = Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
+                 dist_max=jnp.float32(4.0))
+        res = raymarch(r, occ, voxel_steps, raymarch_type="voxel",
+                       ray_max_travel=2.0)
+        # evolve ray origins from the result (dependency chain, rule 6)
+        shift = jnp.sum(res.depths * res.mask, axis=-1, keepdims=True) * 1e-6
+        return o + shift * d, d
+
+    ko1, ko2 = jax.random.split(kc)
+    o0 = jax.random.uniform(ko1, (rays, 3), minval=-0.1, maxval=0.1)
+    d0 = jax.random.normal(ko2, (rays, 3))
+    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    t_march = loop(march_step, (o0, d0),
+                   f"voxel raymarch probe+mask (R={rays}, S={voxel_steps})")
+
+    # ---- 6. optimizer update at flagship param count -------------------------
+    import optax
+    n_params = 2 * num_lods * cap * f        # both grids
+    tx = optax.adam(1e-3)
+
+    @jax.jit
+    def opt_step(state):
+        p, o = state
+        g = p * 1e-6 + 1.0
+        up, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o2
+
+    p0 = jnp.zeros((n_params,), jnp.float32)
+    t_opt = loop(opt_step, (p0, tx.init(p0)),
+                 f"adam update ({n_params / 1e6:.1f}M params)")
+
     print(json.dumps({
         "n_samples": n, "levels": num_lods,
         "enc_fwd_ms": round(t_fwd, 1),
@@ -209,6 +257,8 @@ def main():
         "composite_grad_ms": round(t_comp, 1),
         "assign_ms": round(t_assign, 1),
         "mlp_grad_ms": round(t_mlp, 1),
+        "voxel_march_ms": round(t_march, 1),
+        "adam_ms": round(t_opt, 1),
     }), flush=True)
 
 
