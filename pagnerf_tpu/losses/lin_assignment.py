@@ -44,8 +44,13 @@ def hungarian_assign(cost: jnp.ndarray, present: jnp.ndarray) -> jnp.ndarray:
     paths, ops/assignment.py) standing in for the reference's host scipy
     Hungarian (lin_assignment_things.py:44) — the same algorithm scipy runs,
     so the matching cost is exact. Stays on-device: no host round-trip inside
-    the train step."""
-    return lap_assign(jnp.nan_to_num(cost.astype(jnp.float32)), present)
+    the train step.
+
+    nan_to_num maps +/-inf to float32 max (~3.4e38), which would exceed the
+    solver's 1e30 settled-column sentinel and corrupt its argmin — clip to
+    +/-1e12 (far above the 1e4 rejection penalties, far below the sentinel)."""
+    cost = jnp.clip(jnp.nan_to_num(cost.astype(jnp.float32)), -1e12, 1e12)
+    return lap_assign(cost, present)
 
 
 # ---------------------------------------------------------------------------

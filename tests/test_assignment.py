@@ -144,6 +144,25 @@ def test_two_tier_near_ties_with_penalties():
     assert round((c_dev - c_ref) / 10000.0) == 0
 
 
+def test_nonfinite_costs_clipped_by_wrapper():
+    """hungarian_assign must survive nan/inf cells (nan_to_num alone maps inf
+    to f32-max, which would exceed the solver's settled sentinel)."""
+    from pagnerf_tpu.losses.lin_assignment import hungarian_assign
+
+    rng = np.random.default_rng(21)
+    cost = rng.uniform(-1, 0, (8, 20)).astype(np.float32)
+    cost[0, :10] = np.inf
+    cost[3, 5] = np.nan
+    present = np.ones(8, bool)
+    a = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(present)))
+    assert len(set(a.tolist())) == 8          # valid distinct matching
+    finite = np.nan_to_num(np.clip(cost, -1e12, 1e12))
+    a_ref = hungarian_host(finite, present)
+    c_dev = matched_cost(finite, present, a)
+    c_ref = matched_cost(finite, present, a_ref)
+    assert c_dev <= c_ref + 1e-3
+
+
 def test_production_shape_20_labels_200_slots():
     """The deployed shape: ~20 GT labels present out of 200 label rows against
     200 slots, embedding-distance costs + penalty bands."""
