@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.assignment import lap_assign
+from .photometric import safe_prob_log
 
 
 def hungarian_host(cost: np.ndarray, present: np.ndarray) -> np.ndarray:
@@ -129,7 +130,7 @@ def lin_assignment_loss(probs: jnp.ndarray, labels: jnp.ndarray,
         virt = assign[jnp.clip(gt, 0, num_labels - 1)]            # [N]
         pred = jnp.argmax(p, axis=-1)
         any_wrong = jnp.any((virt != pred) & in_range)
-        nll = -jnp.take_along_axis(jnp.log(p + 1e-27), virt[:, None], axis=1)[:, 0]
+        nll = -jnp.take_along_axis(safe_prob_log(p), virt[:, None], axis=1)[:, 0]
         nll = jnp.where(in_range, nll, 0.0)
         denom = jnp.maximum(in_range.sum(), 1)
         return jnp.where(any_wrong, nll.sum() / denom, 0.0)
@@ -167,7 +168,7 @@ def lin_assignment_things_loss(probs: jnp.ndarray, labels: jnp.ndarray,
                          assign[jnp.clip(gt, 0, num_labels - 1)] + 1, 0)  # [N]
         pred = jnp.argmax(p, axis=-1)
         any_wrong = jnp.any((virt != pred) & valid)
-        nll = -jnp.take_along_axis(jnp.log(p + 1e-27), virt[:, None], axis=1)[:, 0]
+        nll = -jnp.take_along_axis(safe_prob_log(p), virt[:, None], axis=1)[:, 0]
         return jnp.where(valid & any_wrong, nll, 0.0)
 
     if points_3d is None:

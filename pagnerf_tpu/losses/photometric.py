@@ -16,6 +16,21 @@ def rgb_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred[..., :3] - target[..., :3]))
 
 
+def safe_prob_log(p: jnp.ndarray) -> jnp.ndarray:
+    """log(p + 1e-27) with p clamped to >= 0 first.
+
+    Rendered probability channels are mathematically non-negative, but the
+    packed tracer composites them as prefix-sum DIFFERENCES (ops/packed.py
+    segment_sum) — where the true sum is ~0, fp32 cancellation noise can
+    leave a tiny NEGATIVE value, and log(negative) is NaN. One NaN loss
+    poisons the panoptic params permanently (observed: flagship 120v run,
+    sem_loss NaN from the first panoptic epoch at 4096 rays/img). The clamp
+    has zero gradient on the noise region and is the identity wherever the
+    dense path is exact.
+    """
+    return jnp.log(jnp.maximum(p, 0.0) + 1e-27)
+
+
 def semantic_loss(probs_or_logits: jnp.ndarray, targets: jnp.ndarray,
                   sem_softmax: bool, temperature: float = 1.0,
                   conf: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -28,7 +43,7 @@ def semantic_loss(probs_or_logits: jnp.ndarray, targets: jnp.ndarray,
     garbage labels the day a config runs without dense predictions.
     """
     if sem_softmax:
-        logp = jnp.log(probs_or_logits + 1e-27) / temperature
+        logp = safe_prob_log(probs_or_logits) / temperature
     else:
         logp = jax.nn.log_softmax(probs_or_logits / temperature, axis=-1)
     num_classes = probs_or_logits.shape[-1]

@@ -16,6 +16,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from .photometric import safe_prob_log
+
 
 def segment_consistency_regularizer(probs: jnp.ndarray, labels: jnp.ndarray,
                                     num_segments: int) -> jnp.ndarray:
@@ -41,7 +43,7 @@ def segment_consistency_regularizer(probs: jnp.ndarray, labels: jnp.ndarray,
         # background override (regularizers.py:29-31)
         best = jnp.where(bins[:, 0] * 0.5 > best_votes, 0, best)
         # per-segment mean NLL toward its majority label
-        logp = jnp.log(p + 1e-27)                                   # [R, C]
+        logp = safe_prob_log(p)                                     # [R, C]
         tgt_logp = seg.T @ logp                                     # [K, C] summed
         nll = -jnp.take_along_axis(tgt_logp, best[:, None], axis=1)[:, 0]
         nll = nll / jnp.maximum(seg_counts, 1.0)

@@ -248,3 +248,32 @@ def test_position_id_range_cost_small_m_noop():
                                          jnp.ones((3,), bool))
         assert np.isfinite(np.asarray(out)).all()
         np.testing.assert_array_equal(np.asarray(out), np.asarray(cost))
+
+
+def test_prob_losses_finite_on_packed_cancellation_noise():
+    """The packed tracer composites probability channels as prefix-sum
+    DIFFERENCES (ops/packed.segment_sum): where the true sum is ~0, fp32
+    cancellation can leave tiny NEGATIVE entries, and a raw log(p + eps)
+    NaNs — which poisoned the panoptic params of a flagship run from the
+    first panoptic epoch. Every log-of-probability loss site must clamp
+    (losses.photometric.safe_prob_log). Gradients must be finite too: a NaN
+    reaching the optimizer is permanent."""
+    from pagnerf_tpu.losses.regularizers import segment_consistency_regularizer
+
+    b, r, m = 2, 16, 6
+    probs = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(0), (b, r, m)), -1)
+    # inject packed-style noise: a few entries at -1e-8 (true value 0)
+    probs = probs.at[:, ::5, 2].set(-1e-8)
+    gt = jnp.tile(jnp.arange(r) % 4, (b, 1))
+    stuff = gt == 0
+
+    def all_losses(p):
+        sem = semantic_loss(p.reshape(-1, m), gt.reshape(-1), sem_softmax=True)
+        la = lin_assignment_loss(p, gt, num_labels=4)
+        lt = lin_assignment_things_loss(p, gt, stuff, num_labels=4).mean()
+        seg = segment_consistency_regularizer(p, gt, num_segments=4)
+        return sem + la + lt + seg
+
+    val, grad = jax.value_and_grad(all_losses)(probs)
+    assert np.isfinite(float(val)), f"loss NaN on negative-noise probs: {val}"
+    assert np.isfinite(np.asarray(grad)).all(), "gradient NaN on negative-noise probs"
