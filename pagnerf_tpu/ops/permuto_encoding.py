@@ -122,6 +122,26 @@ def _rank_and_el(scaledT: jnp.ndarray) -> tuple:
     return el, gr, rank
 
 
+def _flat_lattice_bytes(num_levels: int, n: int) -> int:
+    """HBM footprint of the flat path's [L, V, 3, N] int32 key intermediate."""
+    return num_levels * _VERTS * _D * n * 4
+
+
+def _lattice_flat_ok(num_levels: int, n: int) -> bool:
+    """Flat (vmap-over-levels) lattice iff the all-levels key intermediate fits
+    the budget (PAGNERF_LATTICE_FLAT_MB; 0 disables flat).
+
+    N is static under jit, so this is a trace-time decision: at e.g. 256 MB
+    the post-prune packed regimes (N ~ 200k -> ~230 MB) go flat, the
+    seeded/pre regimes (N ~ 2.2M -> ~2.6 GB, the measured HBM envelope) keep
+    the scan. Default 0 (off) until the axon A/B lands — the flat program
+    shape (vmap fwd + 24 unrolled bwd bodies) is unmeasured on that
+    compile service."""
+    import os
+    budget_mb = float(os.environ.get("PAGNERF_LATTICE_FLAT_MB", "0"))
+    return _flat_lattice_bytes(num_levels, n) <= budget_mb * 2 ** 20
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _lattice_levels(statics, x):
     """idx [L, V, N] int32 + bary [L, V, N] for all levels of coords x [3, N].
@@ -133,10 +153,15 @@ def _lattice_levels(statics, x):
     Two memory design points (this op is the measured HBM envelope of every
     training regime, PERFORMANCE.md round 3):
 
-      * The per-level math runs as a SCAN over levels, not a vmap: vmapping
+      * At large N the per-level math runs as a SCAN over levels: vmapping
         materialises the [L, V, 3, N] int32 key intermediate for all levels
         at once — 2.5 GB at flagship scale (L=24, N=2.23M). The scan keeps
         one level's keys alive at a time (~107 MB) with identical outputs.
+        At SMALL N (the post-prune packed regimes, N ~ 200k) the same
+        intermediate is ~230 MB — there the levels run FLAT (vmap), removing
+        24 sequential scan dependencies whose per-iteration work is too small
+        to fill the chip (part of the post regimes' fixed per-step cost,
+        ROOFLINE.md). Dispatch is trace-time on N (_lattice_flat_ok).
       * The backward saves NO lattice residuals. Autodiff through the rank /
         tie-break masks would stack [L, 5, V, N]-scale multiply partners
         (~4 GB); instead the VJP recomputes each level's rank from x (cheap
@@ -149,10 +174,15 @@ def _lattice_levels(statics, x):
     """
     log2_c, inv_scales, mm, dm, direct = _statics_arrays(statics)
 
-    def body(_, xs):
-        inv_s, mm_l, dm_l, direct_l = xs
+    def level(inv_s, mm_l, dm_l, direct_l):
         keys, bary = simplex_vertices_and_weights_T(x * inv_s)
-        return None, (_index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary)
+        return _index_keys_T(keys, log2_c, mm_l, dm_l, direct_l), bary
+
+    if _lattice_flat_ok(len(statics[1]), x.shape[1]):
+        return jax.vmap(level)(inv_scales, mm, dm, direct)
+
+    def body(_, xs):
+        return None, level(*xs)
     _, (idx, bary) = jax.lax.scan(body, None, (inv_scales, mm, dm, direct))
     return idx, bary
 
@@ -173,16 +203,29 @@ def _lattice_levels_bwd(statics, x, g):
     _, dbary = g                                   # didx is float0 (int output)
     b5 = jnp.arange(_VERTS + 1, dtype=jnp.int32)[:, None, None]   # [5, 1, 1]
 
-    def body(dx, xs):
-        inv_s, dbary_l = xs                        # dbary_l [V, N]
+    def level_dx(inv_s, dbary_l):                  # dbary_l [V, N]
         _, _, rank = _rank_and_el(x * inv_s)
         pm = (((_D - rank)[None] == b5).astype(dbary_l.dtype)
               - ((_D + 1 - rank)[None] == b5).astype(dbary_l.dtype))  # [5, 4, N]
         # bary = bary5[:V] with bary5[0] folded += bary5[V]: transpose the fold.
         db5 = jnp.concatenate([dbary_l, dbary_l[:1]], axis=0)         # [5, N]
         ddelta = jnp.einsum("bvn,bn->vn", pm, db5) / _VERTS           # [4, N]
-        dx_l = (jnp.asarray(_E, x.dtype).T @ ddelta) * inv_s          # [3, N]
-        return dx + dx_l, None
+        return (jnp.asarray(_E, x.dtype).T @ ddelta) * inv_s          # [3, N]
+
+    if _lattice_flat_ok(len(statics[1]), x.shape[1]):
+        # UNROLLED levels (not vmap): each body is the exact scan-iteration
+        # program, accumulated in scan order, so the flat backward is
+        # bit-identical to the scan backward (a vmapped einsum batches the
+        # matmuls and reassociates within ~1 ulp). The bodies have no
+        # cross-level dependency, so XLA schedules them concurrently —
+        # which is the whole point at post-prune N (ROOFLINE.md fixed costs).
+        dx = jnp.zeros_like(x)
+        for l in range(len(statics[1])):
+            dx = dx + level_dx(inv_scales[l], dbary[l])
+        return (dx,)
+
+    def body(dx, xs):
+        return dx + level_dx(*xs), None
 
     dx, _ = jax.lax.scan(body, jnp.zeros_like(x), (inv_scales, dbary))
     return (dx,)
