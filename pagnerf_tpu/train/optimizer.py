@@ -189,4 +189,19 @@ def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
                 else new_leaf
 
         new_state = jax.tree_util.tree_map_with_path(restore, new_state, opt_state)
+
+    # Non-finite step skip — the reference trains under torch.cuda.amp.GradScaler
+    # (pc_nerf/trainer.py:429,582-584), which SKIPS optimizer.step() whenever any
+    # gradient is inf/NaN; without this, one bad step poisons the params
+    # permanently (observed: the first flagship 120v run's panoptic branch).
+    # A skipped step leaves params AND optimizer state bit-identical (the
+    # logged losses still expose the event as a NaN/huge total).
+    finite = jnp.array(True)
+    for g in jax.tree.leaves(grads):
+        if jnp.issubdtype(g.dtype, jnp.floating):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+    updates = jax.tree.map(
+        lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+    new_state = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                             new_state, opt_state)
     return updates, new_state

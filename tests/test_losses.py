@@ -277,3 +277,27 @@ def test_prob_losses_finite_on_packed_cancellation_noise():
     val, grad = jax.value_and_grad(all_losses)(probs)
     assert np.isfinite(float(val)), f"loss NaN on negative-noise probs: {val}"
     assert np.isfinite(np.asarray(grad)).all(), "gradient NaN on negative-noise probs"
+
+
+def test_nonfinite_grads_skip_update():
+    """masked_update must skip the whole step (params AND optimizer state
+    bit-identical) when any gradient is non-finite — the reference trains
+    under torch AMP GradScaler, which does exactly this; without it one bad
+    step poisons the params permanently."""
+    import optax
+    from pagnerf_tpu.train.optimizer import masked_update
+
+    params = {"a": jnp.ones((4,)), "b": jnp.ones((2, 2))}
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    good = {"a": jnp.full((4,), 0.5), "b": jnp.full((2, 2), -0.5)}
+    upd, st = masked_update(tx, good, opt_state, params)
+    assert all(np.abs(np.asarray(u)).max() > 0 for u in jax.tree.leaves(upd))
+
+    for poison in (jnp.nan, jnp.inf):
+        bad = {"a": good["a"].at[1].set(poison), "b": good["b"]}
+        upd, st = masked_update(tx, bad, opt_state, params)
+        assert all((np.asarray(u) == 0).all() for u in jax.tree.leaves(upd))
+        for n, o in zip(jax.tree.leaves(st), jax.tree.leaves(opt_state)):
+            np.testing.assert_array_equal(np.asarray(n), np.asarray(o))
