@@ -121,6 +121,24 @@ FLAG_GROUPS: Dict[str, list] = {
         # dead in the reference too (declared at config_parser.py:212-213, stored
         # at pc_nerf/trainer.py:100, never read afterwards).
         ("inst-conf-bootstrap-epoch-start", int, -1, None, None),
+        # Zero-init the semantic head's output layer so rendered class
+        # probabilities start UNIFORM. With sem_softmax the loss is
+        # -log(rendered_prob + 1e-27) (reference pc_nerf/trainer.py:459); a
+        # randomly-initialised head decoding TRAINED base features starts
+        # confidently wrong (measured: normalized entropy 0.72 vs uniform 1.10
+        # at flagship capacity), and the unbounded log slope at p -> 0
+        # destabilised the phase start. No reference counterpart (init choice,
+        # not behaviour); harmless where random init also worked.
+        ("sem-zero-init", B, True, None, None),
+        # Composite residual transmittance into slot 0 of the panoptic
+        # channels (semantics class 0 = stuff/background; instance slot 0 is
+        # reserved for stuff, reference loss/lin_assignment_things.py:23-28).
+        # On data where every pixel has geometry (BUP20: alpha ~= 1) this is
+        # a no-op; on scenes with true empty space it gives empty rays a
+        # correct background prediction instead of p = 0, whose
+        # -log(p + 1e-27) slope is unbounded (observed: flagship synthetic
+        # run's sem/inst divergence from the first panoptic epoch).
+        ("panoptic-bg-residual", B, False, None, None),
     ],
     "dataset": [
         ("dataset-type", str, None, ["sdf", "multiview"], None),

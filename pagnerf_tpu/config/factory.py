@@ -108,6 +108,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         inst_sigmoid=args.inst_sigmoid, inst_detach=args.inst_detach,
         inst_direct_pos=args.inst_direct_pos,
         inst_soft_temperature=args.inst_soft_temperature,
+        sem_zero_init=args.sem_zero_init,
         panoptic_features_type=args.panoptic_features_type,
         multiscale_type=args.multiscale_type,
         view_multires=args.view_multires, pos_multires=args.pos_multires,
@@ -126,6 +127,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         bg_color=args.bg_color,
         ray_max_travel=args.ray_max_travel,
         ray_sparsity_reg=args.ray_sparcity_reg,
+        panoptic_bg_residual=args.panoptic_bg_residual,
     )
 
     if args.optimize_extrinsics or args.optimize_val_extrinsics:

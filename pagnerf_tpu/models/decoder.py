@@ -44,11 +44,12 @@ class DenseT(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     bias_init: Callable = nn.initializers.zeros
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cin = x.shape[0]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             (cin, self.features))
         y = jax.lax.dot_general(kernel.astype(self.dtype), x.astype(self.dtype),
                                 (((0,), (0,)), ((), ())),
@@ -74,6 +75,10 @@ class BasicDecoder(nn.Module):
     output_bias_init: Sequence[float] | None = None
     skip: Sequence[int] = ()
     compute_dtype: jnp.dtype = jnp.float32
+    # Zero-init the output layer's kernel: the head starts at exactly its bias
+    # (uniform softmax for probability heads). Hidden layers receive zero
+    # gradient only until the first lout update — standard zero-head init.
+    zero_init_output: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,6 +99,8 @@ class BasicDecoder(nn.Module):
                     b = b.at[i].set(v)
             return b
 
+        kinit = (nn.initializers.zeros if self.zero_init_output
+                 else nn.initializers.lecun_normal())
         out = DenseT(self.output_dim, name="lout", bias_init=bias_init,
-                     dtype=self.compute_dtype)(h)
+                     kernel_init=kinit, dtype=self.compute_dtype)(h)
         return out.astype(jnp.float32)

@@ -115,6 +115,12 @@ class PanopticNeF(nn.Module):
     inst_soft_temperature: float = 0.0
     panoptic_features_type: Optional[str] = None
     multiscale_type: str = "cat"
+    # Zero-init the semantic head's lout kernel so rendered class probabilities
+    # start uniform (config.py sem-zero-init defaults this ON for config-driven
+    # runs; see the flag comment there). Module default is OFF: zero-init also
+    # zeroes the init-time gradient INTO the features (dlogits/dh = W = 0), so
+    # library callers keep standard init unless they opt in.
+    sem_zero_init: bool = False
 
     # embedder group
     view_multires: int = 4
@@ -155,7 +161,8 @@ class PanopticNeF(nn.Module):
         decoder_semantics = BasicDecoder(
             output_dim=self.num_classes, hidden_dim=self.sem_hidden_dim or self.hidden_dim,
             num_layers=self.sem_num_layers or self.num_layers,
-            activation=sem_act, compute_dtype=cd, name="decoder_semantics")
+            activation=sem_act, compute_dtype=cd,
+            zero_init_output=self.sem_zero_init, name="decoder_semantics")
         decoder_inst = BasicDecoder(
             output_dim=self.num_instances, hidden_dim=self.inst_hidden_dim or self.hidden_dim,
             num_layers=self.inst_num_layers or self.num_layers,

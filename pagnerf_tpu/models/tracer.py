@@ -83,6 +83,19 @@ class TracerConfig:
     # reference's ragged packed tensors. Takes precedence over compact_steps.
     # 0 disables.
     pack_steps: int = 0
+    # Composite residual transmittance (1 - panoptic_alpha^2 — the rendered
+    # probability mass is alpha^2, so this makes each ray an exact
+    # distribution when the per-sample features are) into slot 0 of the
+    # panoptic channels: semantics class 0 = stuff/background, instance slot 0
+    # is reserved for stuff (reference loss/lin_assignment_things.py:23-28,
+    # trainer "virt = 0" for stuff pixels). A no-op wherever alpha ~= 1 (the
+    # reference's BUP20 frames have geometry at every pixel), but on scenes
+    # with true empty space it makes empty rays predict background with p ~= 1
+    # instead of rendering p = 0 for EVERY class — whose -log(p + 1e-27) loss
+    # slope (reference pc_nerf/trainer.py:459) is unbounded and destabilised
+    # the flagship synthetic run's panoptic phase. For non-DD tracers
+    # panop_tau is detached, so the residual carries no density gradient.
+    panoptic_bg_residual: bool = False
 
     @property
     def is_dd(self) -> bool:
@@ -230,7 +243,13 @@ def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfi
 
     for ch in channels & PANOPTIC_CHANNELS:
         f = feats[ch].reshape(-1, r, s)
-        out[ch] = panop_alpha * composite_channel_T(f, panop_weights)
+        comp = panop_alpha * composite_channel_T(f, panop_weights)   # [R, C]
+        if cfg.panoptic_bg_residual:
+            # Rendered probability mass is alpha^2 (alpha x the unnormalized
+            # Sum(w f), Sum(w) = alpha): the residual 1 - alpha^2 makes each
+            # ray an exact distribution when the per-sample features are.
+            comp = comp.at[:, 0].add(1.0 - panop_alpha[:, 0] ** 2)
+        out[ch] = comp
 
     assert num_rays == r
     return RenderBuffer(**out)
@@ -292,6 +311,9 @@ def _trace_block_packed(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid,
         out["depth"] = packed_composite(ps.depths[None, :], weights, ps)
 
     for ch in channels & PANOPTIC_CHANNELS:
-        out[ch] = panop_alpha * packed_composite(feats[ch], panop_weights, ps)
+        comp = panop_alpha * packed_composite(feats[ch], panop_weights, ps)
+        if cfg.panoptic_bg_residual:
+            comp = comp.at[:, 0].add(1.0 - panop_alpha[:, 0] ** 2)
+        out[ch] = comp
 
     return RenderBuffer(**out)

@@ -331,3 +331,93 @@ def test_panoptic_nef_rejects_tensorf_grid():
     coords = jnp.zeros((3, 2))
     with pytest.raises(NotImplementedError):
         nef.init(jax.random.PRNGKey(0), coords, None, frozenset({"density"}))
+
+
+def test_panoptic_bg_residual_empty_rays_predict_background():
+    """With panoptic_bg_residual, residual transmittance composites into slot 0
+    of both panoptic channels: a ray through empty space predicts
+    background/stuff with p ~= 1 instead of p = 0 for every class (whose
+    -log(p + 1e-27) slope is unbounded — the round-4 flagship incident). On
+    rays with alpha ~= 1 the residual is a no-op (BUP20-like data)."""
+    def nef_fn(c, d, ch):
+        n = c.shape[1]
+        out = {}
+        if "density" in ch:
+            out["density"] = jnp.zeros((1, n))
+        if "rgb" in ch:
+            out["rgb"] = jnp.full((3, n), 0.5)
+        if "semantics" in ch:
+            out["semantics"] = jnp.full((5, n), 0.2)
+        if "inst_embedding" in ch:
+            out["inst_embedding"] = jnp.full((8, n), 0.125)
+        return out
+
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(4)
+    for pack in (0, 16):
+        cfg = TracerConfig(num_steps=16, pack_steps=pack,
+                           panoptic_bg_residual=True)
+        rb = trace(nef_fn, rays, occ, cfg,
+                   frozenset({"semantics", "inst_embedding"}), stage="train")
+        sem, inst = np.asarray(rb.semantics), np.asarray(rb.inst_embedding)
+        np.testing.assert_allclose(sem[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(sem[:, 1:], 0.0, atol=1e-5)
+        np.testing.assert_allclose(inst[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(sem.sum(-1), 1.0, atol=1e-5)
+
+        off = TracerConfig(num_steps=16, pack_steps=pack)
+        rb0 = trace(nef_fn, rays, occ, off,
+                    frozenset({"semantics"}), stage="train")
+        np.testing.assert_allclose(np.asarray(rb0.semantics), 0.0, atol=1e-5)
+
+
+def test_panoptic_bg_residual_partial_alpha_sums_to_one():
+    """Soft-probability channels + bg residual always sum to exactly 1 per ray
+    (alpha^2 * composite + (1 - alpha^2) on slot 0), and the residual carries
+    no density gradient for non-DD tracers (panop_tau is detached)."""
+    nef = make_nef()
+    params, _, _ = init_nef(nef)
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(6)
+    cfg = TracerConfig(num_steps=16, ray_max_travel=2.0,
+                       panoptic_bg_residual=True)
+
+    def nef_fn(c, d, ch):
+        return nef.apply(params, c, d, frozenset(ch))
+
+    rb = trace(nef_fn, rays, occ, cfg, frozenset({"semantics"}), stage="train")
+    sem = np.asarray(rb.semantics)
+    np.testing.assert_allclose(sem.sum(-1), 1.0, atol=1e-5)
+    assert (sem >= -1e-6).all()
+
+    def loss(p):
+        def fn(c, d, ch):
+            return nef.apply(p, c, d, frozenset(ch))
+        out = trace(fn, rays, occ, cfg, frozenset({"semantics"}), stage="train")
+        return jnp.sum(out.semantics ** 2)
+
+    g = jax.grad(loss)(params)["params"]
+    assert float(jnp.abs(g["grid"]["tables"]).sum()) == 0.0
+    assert float(sum(jnp.abs(x).sum()
+                     for x in jax.tree.leaves(g["decoder_density"]))) == 0.0
+
+
+def test_sem_zero_init_head_starts_uniform():
+    """sem_zero_init zeroes the semantic head's output kernel: a fresh head
+    decoding arbitrary (e.g. already-trained) base features emits the uniform
+    softmax instead of a confidently-wrong one (measured at the round-4
+    flagship boundary: normalized entropy 0.72 vs uniform 1.10). Other heads
+    keep their usual init."""
+    nef = make_nef(PanopticNeF, grid=TINY_HASH, sem_zero_init=True)
+    params, coords, dirs = init_nef(nef)
+    k = params["params"]["decoder_semantics"]["lout"]["kernel"]
+    assert float(jnp.abs(k).max()) == 0.0
+    out = nef.apply(params, coords, dirs, frozenset({"semantics"}))
+    np.testing.assert_allclose(np.asarray(out["semantics"]), 0.2, atol=1e-6)
+    # hidden layers and the other heads are NOT zero-initialised
+    assert float(jnp.abs(params["params"]["decoder_semantics"]["hidden_0"]["kernel"]).max()) > 0.0
+    assert float(jnp.abs(params["params"]["decoder_inst"]["lout"]["kernel"]).max()) > 0.0
+
+    nef_off = make_nef(PanopticNeF, grid=TINY_HASH, sem_zero_init=False)
+    p_off, _, _ = init_nef(nef_off)
+    assert float(jnp.abs(p_off["params"]["decoder_semantics"]["lout"]["kernel"]).max()) > 0.0
