@@ -193,6 +193,7 @@ FLAG_GROUPS: Dict[str, list] = {
         ("lr-step-size", int, 0, None, None),
         ("lr-step-gamma", float, 0.1, None, None),
         ("weight-decay", float, 0.0, None, None),
+        ("clip-grad-norm", float, 0.0, None, None),
         ("grid-lr-weight", float, 100.0, None, None),
         ("delta-grid-lr-weight", float, 100.0, None, None),
         ("rgb-weight", float, 1.0, None, None),

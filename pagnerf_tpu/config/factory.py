@@ -210,6 +210,7 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         lr_step_size=args.lr_step_size, lr_step_gamma=args.lr_step_gamma,
         lr_warmup_epochs=args.lr_warmup_epochs, lr_div_factor=args.lr_div_factor,
         num_epochs=args.epochs,
+        clip_grad_norm=getattr(args, "clip_grad_norm", 0.0),
     )
     trainer = PanopticTrainer(pipeline, dataset, trainer_cfg, opt_cfg)
     # --perf activates the phase timer the trainer threads through its loop

@@ -64,6 +64,35 @@ def save_checkpoint(path: str, trainer, save_as_new: bool = False) -> str:
     return path
 
 
+def _first_real_prune_epoch(cfg) -> Optional[int]:
+    """Epoch whose END runs the first REAL (non-seed) prune under ``cfg``
+    (trainer.should_prune ∘ run_epoch ordering), or None if none scheduled."""
+    cands = []
+    if getattr(cfg, "prune_at_start", False):
+        cands.append(0)
+    if getattr(cfg, "prune_at_epoch", -1) >= 0:
+        cands.append(cfg.prune_at_epoch)
+    if getattr(cfg, "prune_every", 0) > 0:
+        cands.append(cfg.prune_every)
+    return min(cands) if cands else None
+
+
+def derive_real_pruned(cfg, epoch: int, pruned: bool) -> bool:
+    """Whether the real prune must already have run by a checkpoint at ``epoch``.
+
+    For checkpoints without the round-4 ``real_pruned`` field. The real prune
+    fires at the END of epoch P (trainer.run_epoch), and a checkpoint's epoch
+    is the next epoch to run, so epoch > P implies it ran. Getting this wrong
+    is not benign: a resumed run that re-enters seed refreshes
+    (seed_refresh_every) AFTER the real prune shrink-only-mutates the
+    post-prune occupancy mask (keep floor 0.02, no dilation) — observed to
+    degrade a flagship run's post-prune field. (ADVICE r4 #3.)"""
+    if not pruned:
+        return False
+    p = _first_real_prune_epoch(cfg)
+    return p is not None and epoch > p
+
+
 def _partial_merge(current, loaded, ignore_mismatch: bool):
     """Merge loaded leaves into the current tree; on shape mismatch either raise or
     keep the current leaf (reference partial load, config_parser.py:753-776)."""
@@ -116,15 +145,21 @@ def load_checkpoint(path: str, trainer, model_format: str = "full") -> None:
         if "pruned" in state:
             trainer._pruned = bool(state["pruned"])
             trainer._occ_frac = float(state["occ_frac"])
-            # round-4 addition; older checkpoints: a pruned trainer past the
-            # schedule's real-prune epochs behaves identically either way, and
-            # a resumed seeded run merely refreshes once more — safe default
-            trainer._real_pruned = bool(state.get("real_pruned", 0))
         else:
             # legacy (round-2) checkpoint: derive from the restored mask — any
             # prune leaves occupancy below fully-dense
             trainer._pruned = occ_frac < 1.0
             trainer._occ_frac = occ_frac
+        if "real_pruned" in state:
+            trainer._real_pruned = bool(state["real_pruned"])
+        else:
+            # field absent (pre-round-4 / early-round-4 checkpoints): derive
+            # from the prune schedule — defaulting to False re-enables seed
+            # refreshes AFTER the real prune on resume, which shrink-only
+            # mutates the post-prune mask (ADVICE r4 #3; observed on the
+            # flagship 120v run)
+            trainer._real_pruned = derive_real_pruned(
+                trainer.cfg, trainer.epoch, trainer._pruned)
         try:
             # restore through the live opt_state's structure (msgpack stores a
             # plain nested dict; optax states are namedtuple pytrees)

@@ -40,6 +40,15 @@ class OptimizerConfig:
     lr_div_factor: float = 10000.0
     num_epochs: int = 800
     steps_per_epoch: int = 1
+    # Global gradient-norm clip; 0 disables (reference default — torch has no
+    # explicit clip, but its AMP fp16 numeric range bounds the same events).
+    # The -log(p + 1e-27) loss sites (pc_nerf/trainer.py:459) have unbounded
+    # slope where a rendered probability ~0 meets a supervised pixel: one
+    # unlucky batch emits finite-but-1e8 gradients which the non-finite skip
+    # cannot catch, and at grid lr x30 a single epoch of those destroys the
+    # semantic field (observed: flagship 120v run, sem_loss 0.06 -> 1.4 in
+    # one epoch at ep 225). Clipping bounds the step like fp16 saturation did.
+    clip_grad_norm: float = 0.0
 
 
 def label_for_path(path: str) -> str:
@@ -141,7 +150,8 @@ def _kp_str(kp) -> str:
 
 
 def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
-                  frozen_fn: Optional[Callable[[str], bool]] = None):
+                  frozen_fn: Optional[Callable[[str], bool]] = None,
+                  clip_norm: float = 0.0):
     """Apply ``tx`` with EXACT frozen-parameter semantics, equivalent to torch
     requires_grad=False (reference trainer.py:308,318-326): for leaves whose path
     satisfies ``frozen_fn``,
@@ -162,6 +172,14 @@ def masked_update(tx: optax.GradientTransformation, grads, opt_state, params,
 
         if frozen_paths:
             grads = jax.tree_util.tree_map_with_path(zero_frozen, grads)
+
+    if clip_norm and clip_norm > 0:
+        # global-norm clip AFTER the freeze zeroing (frozen leaves must not
+        # inflate the norm) and BEFORE the optimizer: scale = c / max(n, c)
+        # is 1 for in-range gradients, so healthy steps are bit-identical
+        gnorm = optax.global_norm(grads)
+        scale = clip_norm / jnp.maximum(gnorm, clip_norm)
+        grads = jax.tree.map(lambda g: g * scale, grads)
 
     updates, new_state = tx.update(grads, opt_state, params)
 

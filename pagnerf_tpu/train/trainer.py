@@ -511,7 +511,8 @@ class PanopticTrainer:
         def apply_step(params, opt_state, grads, scale):
             grads = jax.tree.map(lambda g: g * scale, grads)
             updates, new_opt = masked_update(self.tx, grads, opt_state, params,
-                                             frozen_fn)
+                                             frozen_fn,
+                                             self.opt_cfg.clip_grad_norm)
             return optax.apply_updates(params, updates), new_opt
 
         @partial(jax.jit, static_argnums=(0,))
@@ -563,7 +564,8 @@ class PanopticTrainer:
                     body, (zeros(g_sh), zeros(l_sh)), (per_img, keys))
             grads = jax.tree.map(lambda g: g * (1.0 / num_micro), acc_g)
             updates, new_opt = masked_update(self.tx, grads, opt_state, params,
-                                             frozen_fn)
+                                             frozen_fn,
+                                             self.opt_cfg.clip_grad_norm)
             return optax.apply_updates(params, updates), new_opt, acc_l
 
         return grad_step, accum, apply_step, fused_step

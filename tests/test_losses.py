@@ -301,3 +301,32 @@ def test_nonfinite_grads_skip_update():
         assert all((np.asarray(u) == 0).all() for u in jax.tree.leaves(upd))
         for n, o in zip(jax.tree.leaves(st), jax.tree.leaves(opt_state)):
             np.testing.assert_array_equal(np.asarray(n), np.asarray(o))
+
+
+def test_clip_grad_norm_guard_rail():
+    """clip_grad_norm must leave in-range gradients bit-identical (scale = 1
+    exactly when the global norm <= clip) and rescale blowup gradients to the
+    clip norm — the fp32 guard-rail for the -log(p + 1e-27) finite-but-huge
+    gradient events the reference's fp16 AMP range bounds implicitly
+    (observed: flagship 120v run, sem head destroyed in one epoch)."""
+    import optax
+    from pagnerf_tpu.train.optimizer import masked_update
+
+    params = {"a": jnp.ones((4,)), "b": jnp.ones((2, 2))}
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    good = {"a": jnp.full((4,), 0.5), "b": jnp.full((2, 2), -0.5)}
+    u0, _ = masked_update(tx, good, opt_state, params)
+    u1, _ = masked_update(tx, good, opt_state, params, clip_norm=100.0)
+    for a, b in zip(jax.tree.leaves(u0), jax.tree.leaves(u1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    huge = {"a": jnp.full((4,), 1e8), "b": jnp.full((2, 2), -1e8)}
+    gnorm = float(optax.global_norm(huge))
+    scale = 100.0 / gnorm
+    clipped = jax.tree.map(lambda g: g * scale, huge)
+    u_clip, _ = masked_update(tx, huge, opt_state, params, clip_norm=100.0)
+    u_ref, _ = masked_update(tx, clipped, opt_state, params)
+    for a, b in zip(jax.tree.leaves(u_clip), jax.tree.leaves(u_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

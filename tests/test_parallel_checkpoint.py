@@ -247,3 +247,48 @@ def test_shard_ray_batch_replicates_per_image_matrices():
     sharded = shard_ray_batch(batch, mesh)
     assert sharded["imgs"].sharding == ray_sharding(mesh)
     assert sharded["view_mats"].sharding.is_fully_replicated
+
+
+def test_legacy_checkpoint_derives_real_pruned(tmp_path):
+    """Checkpoints written before the round-4 ``real_pruned`` field must derive
+    it from the prune schedule on load: restoring False past the real prune
+    re-enters shrink-only seed refreshes that mutate the post-prune mask
+    (ADVICE r4 #3 — observed to degrade the flagship 120v run on resume)."""
+    import dataclasses
+
+    import flax.serialization as flax_ser
+
+    from pagnerf_tpu.train import checkpoint
+    from pagnerf_tpu.train.checkpoint import derive_real_pruned
+    from tests.test_train_e2e import make_trainer
+
+    trainer, _ = make_trainer(epochs=1)
+    trainer._pruned = True
+    trainer._real_pruned = True
+    trainer.epoch = 220
+    path = checkpoint.save_checkpoint(str(tmp_path / "m.ckpt"), trainer)
+
+    # strip the round-4 field to simulate a legacy checkpoint
+    state = flax_ser.msgpack_restore(open(path, "rb").read())
+    assert state["real_pruned"] == 1
+    del state["real_pruned"]
+    open(path, "wb").write(flax_ser.msgpack_serialize(state))
+
+    trainer2, _ = make_trainer(epochs=1)
+    trainer2.cfg = dataclasses.replace(trainer2.cfg, prune_every=100)
+    checkpoint.load_checkpoint(path, trainer2, "full")
+    assert trainer2._real_pruned is True  # epoch 220 > first real prune (100)
+
+    # same checkpoint, schedule whose first real prune lies ahead -> False
+    trainer3, _ = make_trainer(epochs=1)
+    trainer3.cfg = dataclasses.replace(trainer3.cfg, prune_every=300,
+                                       prune_at_epoch=-1, prune_at_start=False)
+    checkpoint.load_checkpoint(path, trainer3, "full")
+    assert trainer3._real_pruned is False
+
+    # pure-schedule unit checks, incl. the exact-boundary epoch (prune fires
+    # at END of epoch P, so epoch == P must NOT claim it already ran)
+    cfg = trainer2.cfg
+    assert derive_real_pruned(cfg, 100, True) is False
+    assert derive_real_pruned(cfg, 101, True) is True
+    assert derive_real_pruned(cfg, 500, False) is False
