@@ -26,6 +26,12 @@ def main(argv=None):
 
     args = parse_options(argv)
 
+    if args.validate_dataset:
+        # dataset dry-run: report schema mismatches without training;
+        # returns the error count (the __main__ guard exits non-zero on it)
+        from pagnerf_tpu.data.validate import run_validation
+        return run_validation(args)
+
     # per-run log dir + config snapshot (main_interactive.py:96-101)
     stamp = time.strftime("%Y%m%d-%H%M%S")
     log_dir = os.path.join(args.log_dir, args.exp_name or "run", stamp)
@@ -97,4 +103,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    ret = main(sys.argv[1:])
+    if isinstance(ret, int):
+        sys.exit(min(ret, 1))

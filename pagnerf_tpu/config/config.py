@@ -51,6 +51,11 @@ FLAG_GROUPS: Dict[str, list] = {
         ("config", str, None, None, None),
         ("default-channel", str, None, None, None),
         ("save-map-only", B, False, None, None),
+        # Dataset dry-run: walk the on-disk tree and report schema mismatches
+        # without training (data/validate.py) — fail fast on first contact
+        # with the real 70 GB BUP20 download. No reference counterpart.
+        ("validate-dataset", B, False, None, None),
+        ("validate-dataset-deep", B, False, None, None),
     ],
     "grid": [
         ("grid-type", str, "OctreeGrid", None, None),

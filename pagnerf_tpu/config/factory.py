@@ -120,6 +120,20 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
     valid = set(nef_cls.__dataclass_fields__.keys())
     nef = nef_cls(**{k: v for k, v in nef_kwargs.items() if k in valid})
 
+    # Residual mass into slot 0 only makes sense for probability outputs:
+    # gate each panoptic channel on its softmax post-op (an inst_sigmoid or
+    # raw-embedding head would get its first embedding dim silently corrupted).
+    bg_res_sem = bool(args.sem_softmax)
+    bg_res_inst = bool(args.inst_softmax)
+    if args.panoptic_bg_residual and not (bg_res_sem and bg_res_inst):
+        log.warning(
+            "panoptic_bg_residual is on but %s not softmax-normalised — the "
+            "background residual is disabled for the non-probability "
+            "channel(s)",
+            "sem/inst heads are" if not (bg_res_sem or bg_res_inst)
+            else ("the semantic head is" if not bg_res_sem
+                  else "the instance head is"))
+
     tracer_cfg = TracerConfig(
         tracer_type=args.tracer_type,
         num_steps=args.num_steps,
@@ -128,6 +142,8 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         ray_max_travel=args.ray_max_travel,
         ray_sparsity_reg=args.ray_sparcity_reg,
         panoptic_bg_residual=args.panoptic_bg_residual,
+        bg_residual_sem=bg_res_sem,
+        bg_residual_inst=bg_res_inst,
     )
 
     if args.optimize_extrinsics or args.optimize_val_extrinsics:

@@ -96,10 +96,22 @@ class TracerConfig:
     # the flagship synthetic run's panoptic phase. For non-DD tracers
     # panop_tau is detached, so the residual carries no density gradient.
     panoptic_bg_residual: bool = False
+    # Per-channel gates: adding residual mass to slot 0 is only meaningful
+    # when that head emits slot PROBABILITIES (softmax post-op). With
+    # inst_sigmoid / raw-embedding configs the residual would silently
+    # corrupt the embedding's first dimension; the factory sets these from
+    # the NeF's sem_softmax / inst_softmax flags (config/factory.py).
+    bg_residual_sem: bool = True
+    bg_residual_inst: bool = True
 
     @property
     def is_dd(self) -> bool:
         return "DDensity" in self.tracer_type
+
+    def bg_residual_on(self, channel: str) -> bool:
+        gate = (self.bg_residual_inst if channel == "inst_embedding"
+                else self.bg_residual_sem)
+        return self.panoptic_bg_residual and gate
 
 
 def _chunked_nef_eval(nef_fn: NefFn, coordsT: jnp.ndarray, ray_dT: jnp.ndarray,
@@ -244,7 +256,7 @@ def _trace_block(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid, cfg: TracerConfi
     for ch in channels & PANOPTIC_CHANNELS:
         f = feats[ch].reshape(-1, r, s)
         comp = panop_alpha * composite_channel_T(f, panop_weights)   # [R, C]
-        if cfg.panoptic_bg_residual:
+        if cfg.bg_residual_on(ch):
             # Rendered probability mass is alpha^2 (alpha x the unnormalized
             # Sum(w f), Sum(w) = alpha): the residual 1 - alpha^2 makes each
             # ray an exact distribution when the per-sample features are.
@@ -312,7 +324,7 @@ def _trace_block_packed(nef_fn: NefFn, rays: Rays, occ: OccupancyGrid,
 
     for ch in channels & PANOPTIC_CHANNELS:
         comp = panop_alpha * packed_composite(feats[ch], panop_weights, ps)
-        if cfg.panoptic_bg_residual:
+        if cfg.bg_residual_on(ch):
             comp = comp.at[:, 0].add(1.0 - panop_alpha[:, 0] ** 2)
         out[ch] = comp
 

@@ -15,7 +15,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..data.multiview import PIXEL_MODES
+
 DATA_AXIS = "data"
+
+# Batch keys whose axis 1 is the ray axis (data/multiview.sample_batch): the
+# per-image pixel modes plus the camera-space base rays. Dispatch is BY KEY —
+# a replicated per-image array whose second dim coincidentally equals the ray
+# count (e.g. [B, R_local, ...] pose/aux metadata) must NOT be assembled from
+# process-local shards; the shape check below is validation only.
+RAY_SHARDED_KEYS = frozenset(PIXEL_MODES) | {"base_rays_origins",
+                                             "base_rays_dirs"}
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -66,7 +76,11 @@ def shard_ray_batch(batch: Dict, mesh: Mesh) -> Dict:
             f"size")
     out = {}
     for k, arr in arrs.items():
-        if arr.ndim >= 2 and arr.shape[1] == ray_len:
+        if k in RAY_SHARDED_KEYS and arr.ndim >= 2:
+            if arr.shape[1] != ray_len:
+                raise ValueError(
+                    f"ray-sharded batch key {k!r} has axis-1 size "
+                    f"{arr.shape[1]}, expected the ray count {ray_len}")
             out[k] = jax.device_put(arr, rs)
         else:
             out[k] = jax.device_put(arr, rep)
@@ -114,7 +128,12 @@ def shard_ray_batch_host_local(local_batch: Dict, mesh: Mesh) -> Dict:
             f"mesh")
     out = {}
     for k, arr in arrs.items():
-        if arr.ndim >= 2 and arr.shape[1] == ray_len_local:
+        if k in RAY_SHARDED_KEYS and arr.ndim >= 2:
+            if arr.shape[1] != ray_len_local:
+                raise ValueError(
+                    f"ray-sharded batch key {k!r} has local axis-1 size "
+                    f"{arr.shape[1]}, expected the local ray count "
+                    f"{ray_len_local}")
             global_shape = arr.shape[:1] + (ray_len_global,) + arr.shape[2:]
             out[k] = jax.make_array_from_process_local_data(rs, arr,
                                                             global_shape)

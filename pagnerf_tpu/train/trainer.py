@@ -39,6 +39,7 @@ from ..losses.sup_contrastive import sup_contrastive_loss
 from ..models.pipeline import BAPipeline, Pipeline
 from ..models.tracer import TracerConfig
 from ..ops.occupancy import OccupancyGrid
+from ..ops.raymarch import raymarch
 from ..train.optimizer import OptimizerConfig, build_optimizer, masked_update
 from ..utils.lod_annealing import constant_lod_weights, lod_weights
 
@@ -700,10 +701,36 @@ class PanopticTrainer:
         self._occ_frac = float(self.occ.mask.mean())
         if not seed:
             # optimizer re-init after topology change (trainer.py:357-358)
-            self.opt_state = self.tx.init(self.params)
+            self.opt_state = self._reinit_opt_state()
             self._real_pruned = True   # stops seed refreshes (seed_refresh_every)
         log.info("%spruned occupancy: %.1f%% cells occupied",
                  "seed-" if seed else "", 100 * self._occ_frac)
+
+    def _reinit_opt_state(self):
+        """Fresh optimizer moments after a topology change (the reference
+        re-creates the optimizer, pc_nerf/trainer.py:357-358) WITHOUT
+        restarting the LR schedules: optax schedules read the update count
+        from the optimizer state, so a plain ``tx.init`` silently re-raises
+        every decayed LR to its epoch-0 value at each prune. Measured on the
+        flagship 120v run (use_lr_scheduler step/80/0.5): the epoch-200 prune
+        re-raised lr 0.00125 -> 0.005 (grid 0.0375 -> 0.15) and the panoptic
+        phase degraded monotonically afterwards (iou_gain +0.026 at epoch 199
+        -> -0.014 at 239, with a clipped gradient-blowup event at 224). The
+        reference never hits this because its configs keep use_lr_scheduler
+        false. Moments reset; count leaves carry over."""
+        def is_count(kp) -> bool:
+            tail = str(getattr(kp[-1], "name", getattr(kp[-1], "key", "")))
+            return tail == "count"
+
+        flat = jax.tree_util.tree_flatten_with_path(self.opt_state)[0]
+        counts = [leaf for kp, leaf in flat if is_count(kp)]
+        fresh = self.tx.init(self.params)
+        if not counts:
+            return fresh
+        count = counts[0]
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, leaf: count.astype(leaf.dtype) if is_count(kp) else leaf,
+            fresh)
 
     # -------------------------------------------------------------- epochs
     def should_prune(self, epoch: int) -> bool:
@@ -808,7 +835,7 @@ class PanopticTrainer:
         self.pipeline.nef = self.pipeline.nef.clone(grid=new_grid)
         self._train_step_cache.clear()
         self._render_cache = {}
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = self._reinit_opt_state()
         log.info("upsampled TensoRF resolution to %d^3", new_res)
 
     def _current_tensorf_res(self) -> int:
@@ -840,7 +867,19 @@ class PanopticTrainer:
         skip NeF evaluation of unoccupied samples — so serving pays the same
         ~occupancy-proportional cost as training instead of the dense budget
         (the reference's ragged packed layout gives its "Render time/img"
-        metric this for free, pc_nerf/trainer.py:699-704)."""
+        metric this for free, pc_nerf/trainer.py:699-704).
+
+        Packed renders size each chunk's buffer from the chunk's OWN valid
+        count: the training budget (1.15x the global occupancy fraction) is a
+        CLT bound that only holds for iid random pixel batches, while render
+        chunks are CONTIGUOUS image rays — a geometry-dense chunk can exceed
+        it, and ops/packed.py's water-fill would then silently drop the
+        deepest valid samples chunk-wide (the reference's ragged layout never
+        drops occupied samples, panoptic_packed_rf_tracer.py:85-114). A cheap
+        count-only march per chunk picks the smallest doubling of the stage
+        budget whose buffer fits every valid sample (zero truncation by the
+        water-fill invariant: sum(counts) <= budget => cap = S); chunks denser
+        than any useful packed budget render dense."""
         from ..core.render_buffer import RenderBuffer
         cfg = self.pipeline.tracer_cfg
         if stage_cfg is None:
@@ -863,25 +902,65 @@ class PanopticTrainer:
             dirs=jnp.concatenate([flat.dirs, jnp.ones((pad, 3))]),
             dist_min=flat.dist_min, dist_max=flat.dist_max)
 
-        cache_key = (frozenset(channels), cfg, rbatch)
         if not hasattr(self, "_render_cache"):
             self._render_cache = {}
-        if cache_key not in self._render_cache:
-            @jax.jit
-            def render_chunk(params, occ, lod_w, o, d):
-                rays_c = Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
-                              dist_max=jnp.float32(6.0))
-                return Pipeline.__call__(self.pipeline, params, rays_c,
-                                         frozenset(channels), occ, lod_w,
-                                         tracer_cfg=cfg)
-            self._render_cache[cache_key] = render_chunk
-        render_chunk = self._render_cache[cache_key]
 
+        def chunk_fn(chunk_cfg):
+            cache_key = (frozenset(channels), chunk_cfg, rbatch)
+            if cache_key not in self._render_cache:
+                @jax.jit
+                def render_chunk(params, occ, lod_w, o, d):
+                    rays_c = Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
+                                  dist_max=jnp.float32(6.0))
+                    return Pipeline.__call__(self.pipeline, params, rays_c,
+                                             frozenset(channels), occ, lod_w,
+                                             tracer_cfg=chunk_cfg)
+                self._render_cache[cache_key] = render_chunk
+            return self._render_cache[cache_key]
+
+        count_chunk = None
+        if cfg.pack_steps:
+            count_key = ("count", cfg.raymarch_type, cfg.num_steps,
+                         cfg.ray_max_travel, rbatch)
+            if count_key not in self._render_cache:
+                march_cfg = cfg
+
+                @jax.jit
+                def count_valid(occ, o, d):
+                    # mirrors _trace_block_packed's march exactly (key=None at
+                    # val — deterministic samples), so the count equals the
+                    # pack-time sum(rm.mask)
+                    rays_c = Rays(origins=o, dirs=d, dist_min=jnp.float32(0.0),
+                                  dist_max=jnp.float32(6.0))
+                    rm = raymarch(rays_c, occ, march_cfg.num_steps,
+                                  march_cfg.raymarch_type,
+                                  march_cfg.ray_max_travel)
+                    return jnp.sum(rm.mask, dtype=jnp.int32)
+                self._render_cache[count_key] = count_valid
+            count_chunk = self._render_cache[count_key]
+
+        grown = 0
         outs = []
         for i in range(0, n + pad, rbatch):
-            outs.append(render_chunk(self.params, self.occ, self.lod_w,
-                                     padded.origins[i:i + rbatch],
-                                     padded.dirs[i:i + rbatch]))
+            o = padded.origins[i:i + rbatch]
+            d = padded.dirs[i:i + rbatch]
+            chunk_cfg = cfg
+            if cfg.pack_steps:
+                cnt = int(count_chunk(self.occ, o, d))
+                p = cfg.pack_steps
+                while p < cfg.num_steps and p * rbatch < cnt:
+                    p *= 2
+                if p >= cfg.num_steps:
+                    p = 0   # budget reached the dense size: render dense
+                if p != cfg.pack_steps:
+                    grown += 1
+                    chunk_cfg = dataclasses.replace(cfg, pack_steps=p)
+            outs.append(chunk_fn(chunk_cfg)(self.params, self.occ, self.lod_w,
+                                            o, d))
+        if grown:
+            log.debug("batch_render: %d/%d chunks exceeded the stage pack "
+                      "budget (%d) and rendered with a grown buffer",
+                      grown, (n + pad) // rbatch, cfg.pack_steps)
         rb = RenderBuffer.concatenate(outs)
         return jax.tree.map(lambda x: x[:n] if getattr(x, "ndim", 0) >= 1 and
                             x.shape[0] == n + pad else x, rb)

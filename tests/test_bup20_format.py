@@ -298,3 +298,104 @@ def test_inference_dataset_sliding_window(bup20_root):
     c0 = ds.center_path_for_index(0).name
     c1 = ds.center_path_for_index(1).name
     assert c0 != c1
+
+
+# ---------------------------------------------------------------- validator
+def _errors(issues):
+    return [m for s, m in issues if s == "ERROR"]
+
+
+def test_validate_dataset_clean_tree(bup20_root):
+    """--validate-dataset dry-run (VERDICT r4 #5): the generated fixture tree
+    must pass with zero errors in both shallow and deep modes."""
+    from pagnerf_tpu.data.validate import validate_bup20_tree
+    for deep in (False, True):
+        issues = validate_bup20_tree(bup20_root, deep=deep)
+        assert not _errors(issues), issues
+    # GT-only supervision (no preds in load_modes) skips the preds checks
+    issues = validate_bup20_tree(bup20_root,
+                                 load_modes=["imgs", "semantics", "instance"])
+    assert not _errors(issues), issues
+    # metashape odometry source validates the npz instead
+    issues = validate_bup20_tree(bup20_root, pose_src="metashape")
+    assert not _errors(issues), issues
+    # robot mask present
+    issues = validate_bup20_tree(bup20_root, robot_mask_path="robot_mask.png")
+    assert not _errors(issues), issues
+
+
+def test_validate_dataset_reports_specific_breakage(bup20_root, tmp_path):
+    """Each broken path/key the loader touches must produce a SPECIFIC error,
+    so first contact with the real 70 GB download fails fast (covers: missing
+    odometry rows, missing depth frames, missing prediction pickles, bad
+    params.yaml, unmatched categories, bad pred payloads)."""
+    import shutil
+
+    from pagnerf_tpu.data.validate import validate_bup20_tree
+
+    def fresh(name):
+        dst = tmp_path / name / "BUP_20"
+        shutil.copytree(bup20_root, dst)
+        return dst
+
+    # odometry missing a frame's timestamp
+    r = fresh("odo")
+    lines = (r / "seqA" / "odometry.csv").read_text().splitlines()
+    (r / "seqA" / "odometry.csv").write_text("\n".join(lines[:-3]) + "\n")
+    msgs = _errors(validate_bup20_tree(r))
+    assert any("lacks entries" in m for m in msgs), msgs
+
+    # depth frame deleted
+    r = fresh("depth")
+    victim = sorted((r / "seqA" / "depth").iterdir())[5]
+    victim.unlink()
+    msgs = _errors(validate_bup20_tree(r))
+    assert any("lacks depth" in m for m in msgs), msgs
+
+    # prediction pickle deleted
+    r = fresh("preds")
+    victim = sorted((r / "seqA" / "preds_mask2former").iterdir())[5]
+    victim.unlink()
+    msgs = _errors(validate_bup20_tree(r))
+    assert any("lacks predictions" in m for m in msgs), msgs
+
+    # params.yaml with a malformed intrinsics matrix
+    r = fresh("params")
+    (r / "seqA" / "params.yaml").write_text(
+        "intrinsics: [[1.0, 0.0], [0.0, 1.0]]\nextrinsics: oops\n")
+    msgs = _errors(validate_bup20_tree(r))
+    assert any("intrinsics" in m for m in msgs), msgs
+    assert any("extrinsics" in m for m in msgs), msgs
+
+    # class labels that match no category
+    msgs = _errors(validate_bup20_tree(bup20_root,
+                                       class_labels=["bg", "tomato"]))
+    assert any("no COCO category matches" in m for m in msgs), msgs
+
+    # corrupt prediction payload (wrong structure)
+    r = fresh("payload")
+    victim = sorted((r / "seqA" / "preds_mask2former").iterdir())[42]
+    with open(victim, "wb") as f:
+        pickle.dump({"unexpected": 1}, f)
+    msgs = _errors(validate_bup20_tree(r, deep=True))
+    assert any("does not match the preds_mask2former schema" in m
+               for m in msgs), msgs
+
+    # robot mask configured but absent
+    msgs = _errors(validate_bup20_tree(bup20_root,
+                                       robot_mask_path="nope.png"))
+    assert any("robot mask" in m for m in msgs), msgs
+
+
+def test_validate_dataset_cli(bup20_root, capsys):
+    """main.py --validate-dataset prints a report and returns the error count."""
+    import main as main_mod
+
+    ret = main_mod.main([
+        "--multiview-dataset-format", "bup20",
+        "--dataset-path", str(bup20_root),
+        "--validate-dataset", "true",
+    ])
+    out = capsys.readouterr().out
+    assert ret == 0
+    assert "0 error(s)" in out and "tree looks loadable" in out

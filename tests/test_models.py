@@ -421,3 +421,55 @@ def test_sem_zero_init_head_starts_uniform():
     nef_off = make_nef(PanopticNeF, grid=TINY_HASH, sem_zero_init=False)
     p_off, _, _ = init_nef(nef_off)
     assert float(jnp.abs(p_off["params"]["decoder_semantics"]["lout"]["kernel"]).max()) > 0.0
+
+def test_panoptic_bg_residual_gated_off_for_non_probability_inst():
+    """ADVICE r4: the slot-0 residual is only meaningful for probability
+    outputs. With bg_residual_inst=False (factory sets this when the instance
+    head is not softmax-normalised, e.g. inst_sigmoid / raw embeddings), the
+    instance channel must be bit-identical to the no-residual trace while the
+    semantic channel still receives the residual."""
+    def nef_fn(c, d, ch):
+        n = c.shape[1]
+        out = {}
+        if "density" in ch:
+            out["density"] = jnp.zeros((1, n))
+        if "semantics" in ch:
+            out["semantics"] = jnp.full((5, n), 0.2)
+        if "inst_embedding" in ch:
+            out["inst_embedding"] = jnp.full((8, n), 0.3)   # raw embedding
+        return out
+
+    occ = OccupancyGrid.create(level=3)
+    rays = make_test_rays(4)
+    chans = frozenset({"semantics", "inst_embedding"})
+    for pack in (0, 16):
+        gated = TracerConfig(num_steps=16, pack_steps=pack,
+                             panoptic_bg_residual=True, bg_residual_inst=False)
+        off = TracerConfig(num_steps=16, pack_steps=pack)
+        rb_g = trace(nef_fn, rays, occ, gated, chans, stage="train")
+        rb_0 = trace(nef_fn, rays, occ, off, chans, stage="train")
+        np.testing.assert_array_equal(np.asarray(rb_g.inst_embedding),
+                                      np.asarray(rb_0.inst_embedding))
+        # semantics still gets the residual (empty scene -> slot0 == 1)
+        np.testing.assert_allclose(np.asarray(rb_g.semantics)[:, 0], 1.0,
+                                   atol=1e-5)
+
+
+def test_factory_gates_bg_residual_on_softmax_flags():
+    """config factory disables the per-channel residual when the head is not
+    softmax-normalised (and warns)."""
+    from pagnerf_tpu.config.config import parse_options
+    from pagnerf_tpu.config.factory import get_modules_from_config
+
+    args = parse_options([
+        "--config", "configs/synthetic/tiny.yaml",
+        "--panoptic-bg-residual", "true",
+        "--inst-softmax", "false", "--inst-sigmoid", "true",
+    ])
+    pipeline, _, _ = get_modules_from_config(args)
+    cfg = pipeline.tracer_cfg
+    assert cfg.panoptic_bg_residual
+    assert cfg.bg_residual_sem
+    assert not cfg.bg_residual_inst
+    assert not cfg.bg_residual_on("inst_embedding")
+    assert cfg.bg_residual_on("semantics")

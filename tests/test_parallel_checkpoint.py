@@ -292,3 +292,31 @@ def test_legacy_checkpoint_derives_real_pruned(tmp_path):
     assert derive_real_pruned(cfg, 100, True) is False
     assert derive_real_pruned(cfg, 101, True) is True
     assert derive_real_pruned(cfg, 500, False) is False
+
+
+def test_shard_dispatch_is_by_key_not_shape():
+    """ADVICE r4: replicated per-image metadata whose axis-1 COINCIDENTALLY
+    equals the ray count (e.g. a [B, R, ...] pose/aux array not in the pixel
+    modes) must replicate, not be assembled from process-local shards; a
+    listed pixel mode with a mis-sized ray axis must raise."""
+    from pagnerf_tpu.parallel.sharding import shard_ray_batch_host_local
+
+    mesh = make_mesh(8)
+    r = 64
+    batch = {
+        "imgs": np.random.rand(2, r, 3).astype(np.float32),
+        # same second dim as the ray axis, but NOT a pixel mode
+        "aux_per_image": np.random.rand(2, r, 4).astype(np.float32),
+        "cam_idx": np.array([0, 1], np.int32),
+    }
+    for fn in (shard_ray_batch, shard_ray_batch_host_local):
+        out = fn(batch, mesh)
+        assert out["imgs"].sharding == ray_sharding(mesh)
+        assert out["aux_per_image"].sharding.is_fully_replicated
+        assert out["aux_per_image"].shape == (2, r, 4)
+
+    bad = {"imgs": np.random.rand(2, r, 3).astype(np.float32),
+           "semantics": np.random.randint(0, 3, (2, r + 8))}
+    for fn in (shard_ray_batch, shard_ray_batch_host_local):
+        with pytest.raises(ValueError):
+            fn(bad, mesh)

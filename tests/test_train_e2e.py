@@ -306,3 +306,94 @@ def test_dispatch_ahead_matches_per_step_sync():
                                    err_msg=f"epoch-0 {k}")
         np.testing.assert_allclose(t1_pipe[k], t1_sync[k], rtol=1e-6,
                                    err_msg=f"epoch-1 {k}")
+
+
+def test_packed_render_never_truncates_dense_chunks():
+    """ADVICE r4 (medium): render chunks are CONTIGUOUS image rays, so a
+    geometry-dense chunk can exceed the training pack budget (a CLT bound that
+    only holds for iid random batches) — batch_render must grow the chunk's
+    buffer from its own valid count instead of letting the water-fill silently
+    drop occupied samples. Packed render output must equal the dense render
+    bit-for-bit in every channel (the reference's ragged layout never drops
+    occupied samples, panoptic_packed_rf_tracer.py:85-114)."""
+    import dataclasses as dc
+
+    from pagnerf_tpu.core.rays import Rays
+    from pagnerf_tpu.train.trainer import StageConfig
+
+    trainer, ds = make_trainer(render_batch=64)
+    # a couple of steps so density is non-trivial
+    rng = np.random.default_rng(7)
+    stage = trainer.stage_for_epoch(0)
+    for _ in range(3):
+        trainer.train_step(stage, trainer.dataset.sample_batch(rng, 2, 64))
+
+    imgs = ds.get_images("val", mip=0)
+    rays = Rays(origins=jnp.asarray(imgs["base_rays_origins"]),
+                dirs=jnp.asarray(imgs["base_rays_dirs"]),
+                dist_min=jnp.float32(0.0), dist_max=jnp.float32(6.0))
+    chans = {"rgb", "depth", "semantics"}
+
+    def mk_stage(pack):
+        return StageConfig(channels=frozenset(chans), raymarch_type="ray",
+                           num_steps=24, compact_steps=0, pack_steps=pack,
+                           use_sem=True, use_inst=False,
+                           use_inst_segment_reg=False,
+                           training_val_poses=False, extrinsics_on=False)
+
+    cam = int(imgs["cam_idx"][0])
+    dense = trainer.batch_render(rays, chans, cam_idx=cam,
+                                 stage_cfg=mk_stage(0))
+    # pack budget of 8/24 steps: without count-driven growth, full-occupancy
+    # chunks (every ray marches the whole scene pre-prune) would truncate
+    # 2/3 of their valid samples
+    packed = trainer.batch_render(rays, chans, cam_idx=cam,
+                                  stage_cfg=mk_stage(8))
+    for ch in ("rgb", "depth", "semantics"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(packed, ch)), np.asarray(getattr(dense, ch)),
+            rtol=3e-5, atol=3e-6,
+            err_msg=f"packed render diverged from dense on {ch}")
+
+
+def test_prune_reinit_preserves_lr_schedule_count():
+    """The optimizer re-init after a real prune must reset the Adam moments
+    (reference trainer.py:357-358) but NOT the optax update count — schedules
+    read the count from the optimizer state, so a plain tx.init would
+    silently re-raise every decayed LR to its epoch-0 value at each prune
+    (measured on the flagship 120v run: the epoch-200 prune re-raised lr 4x
+    and the panoptic phase degraded monotonically afterwards)."""
+    from pagnerf_tpu.train.optimizer import OptimizerConfig
+
+    trainer, ds = make_trainer()
+    trainer.opt_cfg = dataclasses.replace(
+        trainer.opt_cfg, use_lr_scheduler=True, lr_scheduler_type="step",
+        lr_step_size=1, lr_step_gamma=0.5)
+    from pagnerf_tpu.train.optimizer import build_optimizer
+    trainer.tx = build_optimizer(trainer.opt_cfg, trainer.params)
+    trainer.opt_state = trainer.tx.init(trainer.params)
+
+    rng = np.random.default_rng(11)
+    stage = trainer.stage_for_epoch(0)
+    for _ in range(5):
+        trainer.train_step(stage, trainer.dataset.sample_batch(rng, 2, 64))
+
+    def counts_and_moments(state):
+        flat = jax.tree_util.tree_flatten_with_path(state)[0]
+        counts, mom = [], 0.0
+        for kp, leaf in flat:
+            keys = [str(getattr(k, "name", getattr(k, "key", ""))) for k in kp]
+            if keys[-1] == "count":
+                counts.append(int(leaf))
+            elif "mu" in keys or "nu" in keys:
+                mom += float(jnp.abs(leaf).sum())
+        return counts, mom
+
+    before_counts, before_mom = counts_and_moments(trainer.opt_state)
+    assert before_counts and max(before_counts) == 5
+    assert before_mom > 0.0
+
+    trainer.prune()
+    after_counts, after_mom = counts_and_moments(trainer.opt_state)
+    assert after_counts and all(c == 5 for c in after_counts), after_counts
+    assert after_mom == 0.0   # moments DID reset (reference semantics)
