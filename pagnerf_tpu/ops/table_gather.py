@@ -151,11 +151,18 @@ def _bwd(res, g):
     c, f = tspec.shape
     tdtype = tspec.dtype
     # d table: V*F non-zeros per sample, scattered into the flat [C*F] layout.
+    # Events flatten SAMPLE-MAJOR (transpose N to the front): under ray-axis
+    # data parallelism the sample axis is the sharded one, and a sample-minor
+    # flatten would force XLA to ALL-GATHER the full event stream onto every
+    # device before the scatter (caught by __graft_entry__'s collective
+    # audit); sample-major blocks keep each device scattering only its own
+    # events, joined by the parameter-shaped grad all-reduce.
     flat_idx = (idx[:, None, :] * f
                 + jnp.arange(f, dtype=idx.dtype)[None, :, None])   # [V, F, N]
     vals = bary[:, None, :] * g[None, :, :]                        # [V, F, N]
-    dtable = jnp.zeros((c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
-        vals.reshape(-1)).reshape(c, f)
+    dtable = jnp.zeros((c * f,), g.dtype).at[
+        flat_idx.transpose(2, 0, 1).reshape(-1)].add(
+        vals.transpose(2, 0, 1).reshape(-1)).reshape(c, f)
     # d bary from the saved forward features.
     dbary = jnp.sum(feats.astype(g.dtype) * g[None, :, :], axis=1)  # [V, N]
     return dtable.astype(tdtype), None, dbary.astype(bary.dtype)
@@ -423,13 +430,15 @@ def _ml_bwd(rows_used, res, g):
                 dtables = jnp.stack(parts)
     else:
         # d tables: sparse scatter of V*F nonzeros per sample per level, [L*C*F].
+        # Sample-major event flatten — see _bwd for the DP-sharding rationale.
         level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
         flat_idx = (idx[:, :, None, :] * f
                     + jnp.arange(f, dtype=idx.dtype)[None, None, :, None]
                     + level_off)                                   # [L, V, F, N]
         vals = bary[:, :, None, :] * g[:, None, :, :]              # [L, V, F, N]
-        dtables = jnp.zeros((l * c * f,), g.dtype).at[flat_idx.reshape(-1)].add(
-            vals.reshape(-1)).reshape(l, c, f)
+        dtables = jnp.zeros((l * c * f,), g.dtype).at[
+            flat_idx.transpose(3, 0, 1, 2).reshape(-1)].add(
+            vals.transpose(3, 0, 1, 2).reshape(-1)).reshape(l, c, f)
     if feats is None:
         from .pallas_gather import multilevel_gather_dbary
         tables = tables_or_spec
@@ -643,13 +652,15 @@ def _dual_bwd(rows_used, res, g):
                 dta, dtb = jnp.stack(pa), jnp.stack(pb)
     else:
         def xla_scatter(gg):
+            # sample-major event flatten — see _bwd for the DP rationale
             level_off = (jnp.arange(l, dtype=idx.dtype) * (c * f))[:, None, None, None]
             flat_idx = (idx[:, :, None, :] * f
                         + jnp.arange(f, dtype=idx.dtype)[None, None, :, None]
                         + level_off)
             vals = bary[:, :, None, :] * gg[:, None, :, :]
-            return jnp.zeros((l * c * f,), gg.dtype).at[flat_idx.reshape(-1)].add(
-                vals.reshape(-1)).reshape(l, c, f)
+            return jnp.zeros((l * c * f,), gg.dtype).at[
+                flat_idx.transpose(3, 0, 1, 2).reshape(-1)].add(
+                vals.transpose(3, 0, 1, 2).reshape(-1)).reshape(l, c, f)
         dta, dtb = xla_scatter(g_a), xla_scatter(g_b)
     # bary cotangent from the A side only (B's bary is stop-gradient by contract)
     if feats_a is None:
