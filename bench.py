@@ -302,21 +302,89 @@ def main():
                                    min(micro_post, micro_for(stage_conv, cap)))
 
     # ---- schedule-weighted throughput (801 reference epochs) --------------
+    # at the BENCH SCENE's own occupancies — kept for round-over-round
+    # continuity, but NOT the headline: the round-4 verdict's criticism is
+    # that the bench scene's near-empty post-prune field (1.5%) weights the
+    # post segments at an occupancy real runs never reach.
     seg = [(SEED_EPOCH, pre_rays), (PRUNE_EPOCH - SEED_EPOCH, seeded_rays),
            (SEM_EPOCH - PRUNE_EPOCH, post_rgb_rays),
            (TOTAL_EPOCHS - SEM_EPOCH, post_rays)]
     weighted = sum(e for e, _ in seg) / sum(e / r for e, r in seg)
-    note(f"schedule-weighted: {weighted:.1f} rays/s "
+    note(f"schedule-weighted (bench-scene occupancies): {weighted:.1f} rays/s "
          f"(epochs {SEED_EPOCH} pre[rgb] @ {pre_rays:.0f} + "
          f"{PRUNE_EPOCH - SEED_EPOCH} seeded[rgb] @ {seeded_rays:.0f} + "
          f"{SEM_EPOCH - PRUNE_EPOCH} post[rgb] @ {post_rgb_rays:.0f} + "
          f"{TOTAL_EPOCHS - SEM_EPOCH} post[panoptic] @ {post_rays:.0f})")
 
+    # ---- occupancy-trajectory-weighted headline ----------------------------
+    # Weight the 801-epoch schedule by the MEASURED occupancy trajectory of
+    # the committed flagship convergence run (docs/convergence_flagship/
+    # occupancy_trajectory.json, scripts/extract_occupancy_trajectory.py):
+    # each regime is re-measured at the trajectory's min/max occupancy and
+    # step time is interpolated LINEARLY IN OCCUPANCY in between (cost =
+    # fixed + per-evaluated-sample; evaluated samples scale with the occupied
+    # fraction under compaction/packing). BENCH_TRAJ overrides the file;
+    # BENCH_TRAJ=0 disables.
+    traj_weighted = None
+    traj_detail = {}
+    traj_path = os.environ.get(
+        "BENCH_TRAJ", "docs/convergence_flagship/occupancy_trajectory.json")
+    if traj_path not in ("0", "") and os.path.exists(traj_path) \
+            and time.perf_counter() - start < budget:
+        with open(traj_path) as f:
+            traj = json.load(f)["segments"]
+
+        def measure_regime_at(regime, occ):
+            force_occupancy(occ, f"trajectory {regime}")
+            if regime.startswith("seeded"):
+                stage = trainer.stage_for_epoch(0)       # ray-mode seeded
+            else:
+                stage = trainer.stage_for_epoch(3)       # voxel-mode post
+            rgb = regime.endswith("rgb")
+            st = rgb_only(stage) if rgb else stage
+            mb = micro_for(stage, cap_rgb if rgb else cap)
+            if regime.startswith("post"):
+                mb = min(micro_post, mb)
+            return run_phase(st, f"{regime}@{100 * occ:.0f}%occ",
+                             max_iters, start, mb)
+
+        regime_occs = {}
+        for s in traj:
+            regime_occs.setdefault(s["regime"], set()).add(float(s["occ"]))
+        rates = {}   # (regime, occ) -> rays/s
+        for regime, occs in regime_occs.items():
+            if regime == "pre_rgb":
+                for o in occs:
+                    rates[(regime, o)] = pre_rays   # dense, already measured
+                continue
+            ends = sorted({min(occs), max(occs)})
+            for o in ends:
+                rates[(regime, o)] = measure_regime_at(regime, o)
+            if len(ends) == 2:
+                (lo, hi) = ends
+                t_lo, t_hi = 1.0 / rates[(regime, lo)], 1.0 / rates[(regime, hi)]
+                for o in occs - set(ends):
+                    t = t_lo + (t_hi - t_lo) * (o - lo) / (hi - lo)
+                    rates[(regime, o)] = 1.0 / t
+        total_ep = sum(s["ref_epochs"] for s in traj)
+        traj_weighted = total_ep / sum(
+            s["ref_epochs"] / rates[(s["regime"], float(s["occ"]))]
+            for s in traj)
+        traj_detail = {f"{r}@{100 * o:.1f}%occ": round(v, 1)
+                       for (r, o), v in sorted(rates.items())}
+        note(f"occupancy-trajectory-weighted: {traj_weighted:.1f} rays/s "
+             f"over {total_ep:.0f} reference epochs "
+             f"(trajectory: {traj_path})")
+
+    headline = traj_weighted if traj_weighted is not None else weighted
     out = {
-        "metric": "train_rays_per_sec_schedule_weighted",
-        "value": round(weighted, 1),
+        "metric": ("train_rays_per_sec_occupancy_trajectory_weighted"
+                   if traj_weighted is not None
+                   else "train_rays_per_sec_schedule_weighted"),
+        "value": round(headline, 1),
         "unit": "rays/s",
-        "vs_baseline": round(weighted / REFERENCE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(headline / REFERENCE_RAYS_PER_SEC, 3),
+        "schedule_weighted_bench_occ": round(weighted, 1),
         "pre_prune_rgb": round(pre_rays, 1),
         "seeded_rgb": round(seeded_rays, 1),
         "post_prune_rgb": round(post_rgb_rays, 1),
@@ -324,6 +392,9 @@ def main():
         "seed_occ_frac": round(seed_frac, 4),
         "post_occ_frac": round(occ_frac, 4),
     }
+    if traj_weighted is not None:
+        out["trajectory_rates"] = traj_detail
+        out["trajectory_source"] = traj_path
     if post_conv_rays is not None:
         out["post_prune_at_25pct_occ"] = round(post_conv_rays, 1)
     if render_rays is not None:
