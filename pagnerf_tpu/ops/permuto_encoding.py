@@ -134,9 +134,12 @@ def _lattice_flat_ok(num_levels: int, n: int) -> bool:
     N is static under jit, so this is a trace-time decision: at e.g. 256 MB
     the post-prune packed regimes (N ~ 200k -> ~230 MB) go flat, the
     seeded/pre regimes (N ~ 2.2M -> ~2.6 GB, the measured HBM envelope) keep
-    the scan. Default 0 (off) until the axon A/B lands — the flat program
-    shape (vmap fwd + 24 unrolled bwd bodies) is unmeasured on that
-    compile service."""
+    the scan. Default 0 (off): the round-4-queued chip A/B measured the flat
+    path as a NULL end-to-end (8-step bench arms, PAGNERF_LATTICE_FLAT_MB=256
+    vs 0: post[rgb] 69.3k vs 73.3k, post[panoptic] 50.7k vs 47.8k rays/s,
+    schedule-weighted 18,276 vs 18,368 — within run-to-run noise) — the
+    24-step scan's sequential structure is NOT a measurable fixed cost at
+    post scale on this toolchain."""
     import os
     budget_mb = float(os.environ.get("PAGNERF_LATTICE_FLAT_MB", "0"))
     return _flat_lattice_bytes(num_levels, n) <= budget_mb * 2 ** 20

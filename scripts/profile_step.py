@@ -232,6 +232,89 @@ def main():
     t_march = loop(march_step, (o0, d0),
                    f"voxel raymarch probe+mask (R={rays}, S={voxel_steps})")
 
+    # ---- 5b. lattice-scan structure ONLY (keys + bary, no gathers) ----------
+    # Ranks the per-level simplex math + scan structure separately from the
+    # table gathers it feeds (VERDICT r4 #3: "lattice-scan structure" was a
+    # named-but-unquantified post-regime fixed cost; the end-to-end flat-vs-
+    # scan A/B already measured as a null, /tmp-queued round 4).
+    from pagnerf_tpu.ops.permuto_encoding import (_lattice_all_levels,
+                                                  direct_level_specs)
+
+    inv_scales = (1.0 / spec.scales).astype("float32")
+    mm0, dm0, direct0, _rows = direct_level_specs(spec.scales, cap, f)
+
+    @jax.jit
+    def lattice_step(state):
+        coords, acc = state
+        idx, bary = _lattice_all_levels(cap_log2, coords, inv_scales,
+                                        mm0, dm0, direct0)
+        bump = bary.mean() + (idx % 7).astype(jnp.float32).mean() * 1e-9
+        return coords + bump * 1e-9, acc + bump
+
+    t_lattice = loop(lattice_step, (coords0, jnp.float32(0.0)),
+                     f"lattice keys+bary only (L={num_lods}, N={n})")
+
+    # ---- 5c. pose chain: transform_rays fwd+bwd at step scale ---------------
+    # The BA pose chain runs every step: 6-DoF params -> per-ray rotation /
+    # translation -> (packed path) segment_broadcast VJP back to the pose.
+    from pagnerf_tpu.core.camera import (extrinsics_params_from_view_matrix,
+                                         transform_rays as cam_transform)
+    from pagnerf_tpu.core.rays import Rays as _Rays
+
+    n_cams = 12
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_cams, 4, 4))
+    ext0 = extrinsics_params_from_view_matrix(eye)
+    imgs_b = int(os.environ.get("BENCH_BATCH", 6))
+    rays_img = rays // imgs_b
+    kp1, kp2 = jax.random.split(kb)
+    base_o = jax.random.uniform(kp1, (imgs_b, rays_img, 3)) * 0.1
+    base_d = jax.random.normal(kp2, (imgs_b, rays_img, 3))
+    base_d = base_d / jnp.linalg.norm(base_d, axis=-1, keepdims=True)
+    cam_ids = jnp.arange(imgs_b, dtype=jnp.int32)
+
+    @jax.jit
+    def pose_step(ext):
+        def f_(e):
+            r = cam_transform(e, _Rays(origins=base_o, dirs=base_d,
+                                       dist_min=jnp.float32(0.0),
+                                       dist_max=jnp.float32(6.0)), cam_ids)
+            return (r.origins ** 2).mean() + (r.dirs ** 2).mean()
+        return ext - 1e-3 * jax.grad(f_)(ext)
+
+    t_pose = loop(pose_step, ext0,
+                  f"pose chain grad ({imgs_b} cams x {rays_img} rays)")
+
+    # ---- 5d. pack machinery at post scale -----------------------------------
+    # pack_samples' sort + boundary build + packed-space position math — the
+    # cross-ray layout's per-step overhead (ops/packed.py), at the deployed
+    # voxel march shape.
+    from pagnerf_tpu.ops.packed import pack_samples
+    from pagnerf_tpu.ops.raymarch import RaymarchResult
+
+    pack_per_ray = int(os.environ.get("PROF_PACK", 8))
+    s_march = voxel_steps
+    kq1, kq2 = jax.random.split(kc)
+    occ_frac_post = pack_per_ray / (1.15 * s_march)
+    mask0 = jax.random.uniform(kq1, (rays, s_march)) < occ_frac_post
+    depths0 = jnp.cumsum(jax.random.uniform(kq2, (rays, s_march)), axis=-1) * 0.01
+    t0s = depths0[:, 0]
+    spans = depths0[:, -1] - t0s
+
+    @jax.jit
+    def pack_step(state):
+        o, d = state
+        rm = RaymarchResult(
+            positionsT=None, depths=depths0,
+            deltas=jnp.full((rays, s_march), 0.01), mask=mask0,
+            t0=t0s, span=spans)
+        ps = pack_samples(rm, o.T, d.T, budget=pack_per_ray * rays)
+        bump = (ps.positionsT.mean() + ps.deltas.mean()) * 1e-9
+        return o + bump, d
+
+    t_pack = loop(pack_step, (o0, d0),
+                  f"pack machinery (R={rays}, S={s_march} -> "
+                  f"{pack_per_ray}/ray)")
+
     # ---- 6. optimizer update at flagship param count -------------------------
     import optax
     n_params = 2 * num_lods * cap * f        # both grids
@@ -258,6 +341,9 @@ def main():
         "assign_ms": round(t_assign, 1),
         "mlp_grad_ms": round(t_mlp, 1),
         "voxel_march_ms": round(t_march, 1),
+        "lattice_only_ms": round(t_lattice, 1),
+        "pose_chain_ms": round(t_pose, 1),
+        "pack_machinery_ms": round(t_pack, 1),
         "adam_ms": round(t_opt, 1),
     }), flush=True)
 

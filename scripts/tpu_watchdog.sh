@@ -18,7 +18,11 @@ cd "$(dirname "$0")/.."
 echo "$(date '+%F %T') watchdog start: $* (ckpt root $CKPT_ROOT)" >> "$LOG"
 while true; do
   if [ -f "$DONE" ]; then echo "$(date '+%F %T') done marker present, exiting" >> "$LOG"; break; fi
-  if timeout -k 10 45 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; then
+  # probe with a REAL device computation: during partial axon outages
+  # jax.devices() still answers while any compile/execute hangs forever
+  # (observed 2026-08-19 ~23:15), so a devices()-only probe launches runs
+  # that futex-wait indefinitely
+  if timeout -k 10 120 python -c "import jax, jax.numpy as jnp; assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0" >/dev/null 2>&1; then
     # newest LOADABLE checkpoint: a run killed mid-save used to leave a
     # truncated newest file (save is atomic now, but stay robust to old runs)
     CKPT=""
