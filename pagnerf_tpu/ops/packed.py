@@ -38,7 +38,6 @@ from flax import struct
 
 from .raymarch import RaymarchResult
 
-_INT_BIG = jnp.iinfo(jnp.int32).max
 
 
 @struct.dataclass
@@ -179,12 +178,20 @@ def pack_samples(rm: RaymarchResult, rays_oT: jnp.ndarray, rays_dT: jnp.ndarray,
     rank = jnp.cumsum(rm.mask, axis=-1, dtype=jnp.int32) - 1     # [R, S]
     eligible = rm.mask & (rank < keep[:, None])
 
-    # pack permutation: ascending sort of the flat ray-major index where
-    # eligible (key == index, so the sorted key IS the gather index)
-    flat = jnp.where(eligible, jnp.arange(r * s, dtype=jnp.int32).reshape(r, s),
-                     _INT_BIG).reshape(-1)
-    sidx = jax.lax.sort(flat)[:budget]                           # [B]
-    valid = sidx < _INT_BIG
+    # pack permutation DIRECTLY from the segment structure: an eligible
+    # sample's packed slot is offsets[ray] + its within-ray valid rank, so the
+    # gather index array is built by one scatter of the ~occupied-count
+    # eligible flat indices — the former lax.sort over ALL R*S dense slots did
+    # identical work at any occupancy (20 ms of the post-regime step at
+    # flagship scale for a 3%-occupied field). Slot targets are produced in
+    # ray-major depth order (strictly increasing over the row-major [R, S]
+    # walk), i.e. the exact permutation the ascending sort produced —
+    # bit-identical buffers.
+    slot = jnp.where(eligible, offsets[:-1, None] + rank, budget)  # [R, S]
+    flat = jnp.arange(r * s, dtype=jnp.int32).reshape(r, s)
+    sidx = jnp.zeros((budget,), jnp.int32).at[slot.reshape(-1)].set(
+        flat.reshape(-1), mode="drop")                           # [B]
+    valid = jnp.arange(budget, dtype=jnp.int32) < offsets[-1]
     sidx = jnp.where(valid, sidx, 0)
     ray_id = sidx // s
     step_id = sidx % s
