@@ -1,12 +1,13 @@
 """One-shot collection of the flagship-capacity 120-view evidence chain.
 
 The flagship run (configs/synthetic/schedule_preds_flagship.yaml) executes as
-a watchdog-resumed chain of segments (CLAUDE.md rule 11): the rgb phase
-(epochs 0-160) is common to all attempts — panoptic params receive zero
-gradients there — and the panoptic phase (160-240) is the `flagship_v2`
-rerun (single-provenance, intra-phase LR decay). This script:
+a watchdog-resumed chain of segments (CLAUDE.md rule 11). The round-5 rerun
+(`flagship_r5`) is SINGLE-PROVENANCE: every segment is the same config resumed
+from the newest checkpoint, starting at epoch 0 — no cross-attempt stitching
+(the round-4 chain needed scripts/rewind_panoptic_phase.py; this one does not).
+This script:
 
-  1. discovers the `flagship_v2` segments and builds half-open merge specs
+  1. discovers the run's segments and builds half-open merge specs
      (a later resume supersedes the epochs a killed segment re-trains);
   2. merges the chain into one run dir (scripts/merge_run_segments.py);
   3. extracts the measured occupancy trajectory for the occupancy-honest
@@ -15,7 +16,8 @@ rerun (single-provenance, intra-phase LR decay). This script:
   4. collects metrics.csv / convergence.png / renders / README results table
      into docs/convergence_flagship (scripts/collect_convergence.py).
 
-Usage: python scripts/collect_flagship_evidence.py [v2_root]
+Usage: python scripts/collect_flagship_evidence.py [run_root]
+  run_root defaults to the round-5 watchdog chain's checkpoint root.
 """
 from __future__ import annotations
 
@@ -25,17 +27,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-# rgb phase 0-160: attempt-2 chain segment (the run that produced the epoch-160
-# boundary checkpoint flagship_v2 resumed from; see
-# docs/convergence_flagship/README.md "Provenance")
-RGB_SPEC = ("/tmp/flagship_runs/synthetic_schedule_preds_flagship_120v/"
-            "20260819-083255:0-160")
+DEFAULT_ROOT = "/root/repo/_results/r5/flagship_r5"
 SEM_EPOCH = 160
 TOTAL_EPOCHS = 240
-MERGED = "/tmp/flagship_runs/merged_v2"
 
 
-def v2_specs(root: Path) -> list[str]:
+def segment_specs(root: Path) -> list[str]:
     segs = []
     for d in sorted(root.glob("2026*")):
         log = d / "log.txt"
@@ -54,16 +51,18 @@ def v2_specs(root: Path) -> list[str]:
     return [f"{d}:{lo}-{hi}" for d, lo, hi in segs if lo < hi]
 
 
-def main(v2_root: str = "/tmp/flagship_runs/flagship_v2") -> None:
-    specs = [RGB_SPEC] + v2_specs(Path(v2_root))
-    if len(specs) < 2:
-        sys.exit(f"no flagship_v2 segments with epochs under {v2_root}")
+def main(run_root: str = DEFAULT_ROOT) -> None:
+    root = Path(run_root)
+    specs = segment_specs(root)
+    if not specs:
+        sys.exit(f"no run segments with epochs under {run_root}")
     print("segment specs:")
     for s in specs:
         print(f"  {s}")
 
+    merged = str(root.parent / "merged_flagship")
     from merge_run_segments import main as merge
-    merge(MERGED, *specs)
+    merge(merged, *specs)
 
     import subprocess
     out = "docs/convergence_flagship/occupancy_trajectory.json"
@@ -74,7 +73,7 @@ def main(v2_root: str = "/tmp/flagship_runs/flagship_v2") -> None:
          "--out", out, *specs], check=True)
 
     from collect_convergence import main as collect
-    collect(MERGED, "docs/convergence_flagship")
+    collect(merged, "docs/convergence_flagship")
 
 
 if __name__ == "__main__":
