@@ -76,6 +76,12 @@ FLAG_GROUPS: Dict[str, list] = {
         ("finest-scale", float, 0.0001, None, None),
         ("capacity-log-2", int, 18, None, None),
         ("delta-capacity-log-2", int, 18, None, None),
+        # occupancy-structure resolution: res = 2^blas_level cells per axis
+        # (reference OctreeAS BLAS level, grids/occtree.py:35, default 7 ->
+        # 128^3). Finer cells hug surfaces, so the occupied FRACTION — which
+        # sets every compaction/packing budget — drops with level on
+        # surface-dominated scenes.
+        ("blas-level", int, 7, None, None),
     ],
     "embedder": [
         ("embedder-type", str, "none", ["none", "positional", "fourier"], None),

@@ -228,7 +228,8 @@ def get_modules_from_config(args) -> Tuple[Pipeline, MultiviewDataset, PanopticT
         num_epochs=args.epochs,
         clip_grad_norm=getattr(args, "clip_grad_norm", 0.0),
     )
-    trainer = PanopticTrainer(pipeline, dataset, trainer_cfg, opt_cfg)
+    trainer = PanopticTrainer(pipeline, dataset, trainer_cfg, opt_cfg,
+                              occ_level=getattr(args, "blas_level", 7))
     # --perf activates the phase timer the trainer threads through its loop
     # (reference PerfTimer + --perf flag, config_parser.py:56, trainer.py:393)
     trainer.timer.activate = bool(getattr(args, "perf", False))
