@@ -24,7 +24,8 @@ KEYS = ["val/psnr", "val/iou", "val/iou_gain", "val/pq_things",
 def final_row(root: str) -> dict:
     best: dict = {}
     best_ep = -1
-    for p in Path(root).glob("*/metrics.csv"):
+    # sorted: at equal epochs the LATER watchdog segment's row wins
+    for p in sorted(Path(root).glob("*/metrics.csv")):
         with open(p, newline="") as f:
             for row in csv.DictReader(f):
                 ep = int(float(row["epoch"]))
