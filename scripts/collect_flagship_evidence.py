@@ -51,7 +51,8 @@ def segment_specs(root: Path) -> list[str]:
     return [f"{d}:{lo}-{hi}" for d, lo, hi in segs if lo < hi]
 
 
-def main(run_root: str = DEFAULT_ROOT) -> None:
+def main(run_root: str = DEFAULT_ROOT,
+         docs_dir: str = "docs/convergence_flagship") -> None:
     root = Path(run_root)
     specs = segment_specs(root)
     if not specs:
@@ -60,12 +61,12 @@ def main(run_root: str = DEFAULT_ROOT) -> None:
     for s in specs:
         print(f"  {s}")
 
-    merged = str(root.parent / "merged_flagship")
+    merged = str(root.parent / f"merged_{root.name}")
     from merge_run_segments import main as merge
     merge(merged, *specs)
 
     import subprocess
-    out = "docs/convergence_flagship/occupancy_trajectory.json"
+    out = f"{docs_dir}/occupancy_trajectory.json"
     subprocess.run(
         [sys.executable, "scripts/extract_occupancy_trajectory.py",
          "--seed-epoch", "20", "--prune-epoch", "100",
@@ -73,8 +74,8 @@ def main(run_root: str = DEFAULT_ROOT) -> None:
          "--out", out, *specs], check=True)
 
     from collect_convergence import main as collect
-    collect(merged, "docs/convergence_flagship")
+    collect(merged, docs_dir)
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(*sys.argv[1:3])
