@@ -1,5 +1,7 @@
 #!/bin/bash
-# Final chip-queue stage: once the probes are done, run the full benchmark
+# Third chip-queue stage (runs BEFORE the BLAS probe: if the chip-release
+# deadline truncates the chain, the bench capture matters more than the
+# probe): once the main chip queue is done, run the full benchmark
 # locally. This (a) records BENCH_r05_local for the docs tables and (b) warms
 # the persistent compile cache so the driver's end-of-round bench.py
 # deserialises every stage instead of recompiling on the flaky axon service.
@@ -8,7 +10,7 @@ set -u
 ROOT="$1"
 cd "$(dirname "$0")/.."
 
-while [ ! -f "$ROOT/probe_queue.done" ]; do sleep 120; done
+while [ ! -f "$ROOT/chip_queue.done" ]; do sleep 120; done
 
 BENCH_BUDGET_S=2700 timeout -k 30 3300 python bench.py \
   > "$ROOT/bench_r5_local.json" 2> "$ROOT/bench_r5_local.log"

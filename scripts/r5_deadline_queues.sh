@@ -16,7 +16,7 @@ kill_tree() {  # depth-first: children before the parent
 }
 
 while [ "$(date +%s)" -lt "$WHEN" ]; do
-  [ -f "$ROOT/bench_queue.done" ] && exit 0
+  [ -f "$ROOT/probe_queue.done" ] && exit 0
   sleep 60
 done
 

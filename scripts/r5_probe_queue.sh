@@ -1,5 +1,6 @@
 #!/bin/bash
-# Second-stage chip queue: waits for r5_chip_queue.sh (profile + packed A/B),
+# Final chip-queue stage (reordered after the bench — optional evidence,
+# first to lose at the deadline): waits for the local bench capture,
 # then probes the converged field's occupancy vs BLAS level on the flagship
 # checkpoint and commits the result.
 # Usage: scripts/r5_probe_queue.sh <results_root>
@@ -7,7 +8,7 @@ set -u
 ROOT="$1"
 cd "$(dirname "$0")/.."
 
-while [ ! -f "$ROOT/chip_queue.done" ]; do sleep 120; done
+while [ ! -f "$ROOT/bench_queue.done" ]; do sleep 120; done
 
 RUN=$(ls -td "$ROOT"/flagship_r5/2026* 2>/dev/null | head -1)
 [ -n "$RUN" ] || exit 0
