@@ -327,8 +327,15 @@ def main():
     # BENCH_TRAJ=0 disables.
     traj_weighted = None
     traj_detail = {}
-    traj_path = os.environ.get(
-        "BENCH_TRAJ", "docs/convergence_flagship/occupancy_trajectory.json")
+    # Prefer the finest-calibrated rerun's trajectory when its evidence exists
+    # (docs/convergence_flagship_tuned/ — the committed flagship-capacity run
+    # whose quality gains are the ones being claimed); fall back to the
+    # 0.004-finest run's trajectory.
+    _default_traj = "docs/convergence_flagship/occupancy_trajectory.json"
+    _tuned_traj = "docs/convergence_flagship_tuned/occupancy_trajectory.json"
+    if os.path.exists(_tuned_traj):
+        _default_traj = _tuned_traj
+    traj_path = os.environ.get("BENCH_TRAJ", _default_traj)
     if traj_path not in ("0", "") and os.path.exists(traj_path) \
             and time.perf_counter() - start < budget:
         with open(traj_path) as f:

@@ -138,6 +138,34 @@ segment_broadcast.defvjp(_segment_broadcast_fwd, _segment_broadcast_bwd)
 
 
 # ------------------------------------------------------------------ pack
+def _pack_gather_map() -> bool:
+    """Build the pack permutation by per-slot GATHER search instead of the
+    dense [R*S]-source scatter (PAGNERF_PACK_GATHER_MAP, default on).
+
+    The scatter variant writes all R*S candidate slots (most dropped), so its
+    cost is set by the DENSE march size at any occupancy; the gather variant
+    touches O(B + R) elements plus log2(S) lane-packed row gathers of [B]."""
+    import os
+    return os.environ.get("PAGNERF_PACK_GATHER_MAP", "1") == "1"
+
+
+def _gather_1d_i32(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather from a 1-D int32 table at int32 indices via 128-lane-packed
+    rows. A narrow-minor 1-D gather falls to XLA's element-at-a-time path
+    (CLAUDE.md rule 2); rows from a [rows, 128] view of the same data run at
+    the hardware row-gather rate (same structure as ops/occupancy._lookup)."""
+    flat = idx.reshape(-1)
+    t = table
+    pad = (-t.size) % 128
+    if pad:
+        t = jnp.pad(t, (0, pad))
+    rows = t.reshape(-1, 128).at[flat >> 7].get(mode="promise_in_bounds")
+    rows = jax.lax.optimization_barrier(rows)
+    lane = (flat & 127)[:, None]
+    sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane
+    return jnp.sum(rows * sel.astype(rows.dtype), axis=-1).reshape(idx.shape)
+
+
 def _water_fill_cap(counts: jnp.ndarray, num_steps: int, budget: int
                     ) -> jnp.ndarray:
     """Largest per-ray cap k with sum(min(counts, k)) <= budget (k >= 0).
@@ -179,22 +207,48 @@ def pack_samples(rm: RaymarchResult, rays_oT: jnp.ndarray, rays_dT: jnp.ndarray,
     eligible = rm.mask & (rank < keep[:, None])
 
     # pack permutation DIRECTLY from the segment structure: an eligible
-    # sample's packed slot is offsets[ray] + its within-ray valid rank, so the
-    # gather index array is built by one scatter of the ~occupied-count
-    # eligible flat indices — the former lax.sort over ALL R*S dense slots did
-    # identical work at any occupancy (20 ms of the post-regime step at
-    # flagship scale for a 3%-occupied field). Slot targets are produced in
-    # ray-major depth order (strictly increasing over the row-major [R, S]
-    # walk), i.e. the exact permutation the ascending sort produced —
-    # bit-identical buffers.
-    slot = jnp.where(eligible, offsets[:-1, None] + rank, budget)  # [R, S]
-    flat = jnp.arange(r * s, dtype=jnp.int32).reshape(r, s)
-    sidx = jnp.zeros((budget,), jnp.int32).at[slot.reshape(-1)].set(
-        flat.reshape(-1), mode="drop")                           # [B]
+    # sample's packed slot is offsets[ray] + its within-ray valid rank. Slot
+    # targets are produced in ray-major depth order (strictly increasing over
+    # the row-major [R, S] walk), i.e. the exact permutation the original
+    # ascending lax.sort produced — bit-identical buffers either way.
     valid = jnp.arange(budget, dtype=jnp.int32) < offsets[-1]
-    sidx = jnp.where(valid, sidx, 0)
-    ray_id = sidx // s
-    step_id = sidx % s
+    if _pack_gather_map():
+        # GATHER construction (default): invert the segment structure per
+        # packed slot instead of scattering all R*S dense candidates (the
+        # scatter's cost is set by the dense march size at ANY occupancy).
+        #   ray_id: +1 at every segment start, inclusive-cumsum - 1. A run of
+        #   empty rays stacks its starts on one slot, so the cumsum jumps past
+        #   them exactly.
+        starts = jnp.zeros((budget,), jnp.int32).at[offsets[:-1]].add(
+            1, mode="drop")                                      # [B]
+        ray_id = jnp.cumsum(starts) - 1                          # [B]
+        #   step_id: the i-th valid sample of the ray (i < keep <= counts, so
+        #   eligibility is implied) = smallest step with cumsum(mask) == i+1,
+        #   by branchless binary search over the row's nondecreasing `rank`
+        #   (= cumsum(mask) - 1): log2(S) lane-packed row gathers of [B].
+        i_in_ray = jnp.arange(budget, dtype=jnp.int32) \
+            - _gather_1d_i32(offsets, ray_id)                    # [B]
+        rank_flat = rank.reshape(-1)
+        lo = jnp.zeros((budget,), jnp.int32)
+        hi = jnp.full((budget,), s - 1, jnp.int32)
+        for _ in range(max(1, (s - 1).bit_length())):
+            mid = (lo + hi) >> 1
+            below = _gather_1d_i32(rank_flat, ray_id * s + mid) < i_in_ray
+            lo = jnp.where(below, mid + 1, lo)
+            hi = jnp.where(below, hi, mid)
+        ray_id = jnp.where(valid, ray_id, 0)
+        step_id = jnp.where(valid, lo, 0)
+        sidx = ray_id * s + step_id
+    else:
+        # SCATTER construction (round-4 default, kept as the reference
+        # implementation): one scatter of the eligible flat indices.
+        slot = jnp.where(eligible, offsets[:-1, None] + rank, budget)  # [R, S]
+        flat = jnp.arange(r * s, dtype=jnp.int32).reshape(r, s)
+        sidx = jnp.zeros((budget,), jnp.int32).at[slot.reshape(-1)].set(
+            flat.reshape(-1), mode="drop")                       # [B]
+        sidx = jnp.where(valid, sidx, 0)
+        ray_id = sidx // s
+        step_id = sidx % s
 
     # pose-independent unit coordinate of every dense sample (STOP-GRAD: see
     # docstring — the value is exact, the zero pose-derivative is exact)

@@ -27,6 +27,16 @@ from .occupancy import OccupancyGrid
 _BIG = 1e10
 
 
+def _windowed_probe() -> bool:
+    """Two-stage (mip + windowed fine) first-hit probe for voxel mode
+    (PAGNERF_WINDOWED_PROBE). Default OFF pending the round-5 chip
+    measurement (scripts/probe_post_fixed_costs.py) — the variant changes
+    sample placement (conservative window anchor), so it must not flip under
+    a training run resumed mid-flight."""
+    import os
+    return os.environ.get("PAGNERF_WINDOWED_PROBE", "0") == "1"
+
+
 @struct.dataclass
 class RaymarchResult:
     """Dense samples along rays.
@@ -123,14 +133,55 @@ def raymarch(rays: Rays, occ: OccupancyGrid, num_steps: int,
         # occupied wall cannot fall between probes — and a 512-step march no
         # longer pays a 512-wide second occupancy gather.
         probe_n = int(math.ceil(math.sqrt(3.0) * occ.res))
-        probe_depths, _ = _uniform_samples(t0, t1, probe_n, None)
-        probe_occ = occ.occupied_at_T(positions_at(probe_depths))
-        first = jnp.min(jnp.where(probe_occ, probe_depths, _BIG), axis=-1)
-        has_hit = first < _BIG
-        # back off one probe step: `first` is an occupied-cell MIDPOINT; the
-        # cell's front face (where surface density lives) starts up to a step
-        # earlier. Samples landing in the empty backoff get masked anyway.
-        first = jnp.maximum(first - (t1 - t0) / probe_n, t0)
+        windowed = False
+        if _windowed_probe() and math.isfinite(ray_max_travel) \
+                and occ.level >= 5:
+            # Two-stage probe (default; opt out PAGNERF_WINDOWED_PROBE=0): a
+            # res/4 max-pool mip locates a conservative window start (mip
+            # occupancy is a superset, so the first mip hit is at or BEFORE
+            # the fine first hit), then full-resolution probes cover only
+            # [t_c, t_c + max_travel + margin] — the span the refit can use
+            # anyway — instead of the whole AABB interval. Lookups per ray
+            # fall from ceil(sqrt(3)*res) to ~sqrt(3)*res/4 + res*travel/2
+            # (443 -> 192 at res=128, travel=2). A ray whose mip corridor has
+            # no fine hit inside the window keeps the unrefit interval — the
+            # mask still guarantees correctness; only that ray's sample
+            # concentration is lost, exactly like a probe miss on the
+            # single-stage path.
+            clevel = occ.level - 2
+            cres = 1 << clevel
+            pn1 = int(math.ceil(math.sqrt(3.0) * cres))
+            cell_c = 2.0 / cres
+            w_max = ray_max_travel + 2.0 * cell_c
+            pn2 = int(math.ceil(occ.res * w_max / 2.0))
+            windowed = pn1 + pn2 < probe_n
+        if windowed:
+            mip = occ.mask.reshape(cres, 4, cres, 4, cres, 4).any(
+                axis=(1, 3, 5)).reshape(-1)
+            occ_c = OccupancyGrid(occupancy=jnp.zeros((1,), jnp.float32),
+                                  mask=mip, level=clevel)
+            d1, _ = _uniform_samples(t0, t1, pn1, None)
+            o1 = occ_c.occupied_at_T(positions_at(d1))
+            tc = jnp.min(jnp.where(o1, d1, _BIG), axis=-1)
+            coarse_hit = tc < _BIG
+            tc = jnp.where(coarse_hit,
+                           jnp.maximum(tc - (t1 - t0) / pn1, t0), t0)
+            w = jnp.minimum(t1 - tc, w_max)
+            d2, _ = _uniform_samples(tc, tc + w, pn2, None)
+            o2 = occ.occupied_at_T(positions_at(d2))
+            first = jnp.min(jnp.where(o2, d2, _BIG), axis=-1)
+            has_hit = first < _BIG
+            first = jnp.maximum(first - w / pn2, t0)
+        else:
+            probe_depths, _ = _uniform_samples(t0, t1, probe_n, None)
+            probe_occ = occ.occupied_at_T(positions_at(probe_depths))
+            first = jnp.min(jnp.where(probe_occ, probe_depths, _BIG), axis=-1)
+            has_hit = first < _BIG
+            # back off one probe step: `first` is an occupied-cell MIDPOINT;
+            # the cell's front face (where surface density lives) starts up to
+            # a step earlier. Samples landing in the empty backoff get masked
+            # anyway.
+            first = jnp.maximum(first - (t1 - t0) / probe_n, t0)
         t0 = jnp.where(has_hit, first, t0)
         if ray_max_travel != float("inf"):
             t1 = jnp.where(has_hit, jnp.minimum(t0 + ray_max_travel, t1), t1)

@@ -197,6 +197,44 @@ def test_pack_matches_dense_valid_set():
                                     pos[:, r, steps], rtol=1e-5, atol=1e-5)
 
 
+def test_pack_gather_map_matches_scatter_map(monkeypatch):
+    """The gather-built pack permutation (default) is BIT-IDENTICAL to the
+    scatter construction on adversarial segment structures: leading/trailing
+    empty rays, runs of empty rays, water-fill truncation, all-empty."""
+    import numpy.random as npr
+    rng = npr.default_rng(7)
+    r, s = 13, 24
+    masks = [
+        (rng.random((r, s)) < 0.3),
+        np.zeros((r, s), bool),                       # all empty
+        np.ones((r, s), bool),                        # all valid
+    ]
+    m = rng.random((r, s)) < 0.5
+    m[0] = m[1] = m[5] = m[r - 1] = False             # empty runs + edges
+    masks.append(m)
+    from pagnerf_tpu.ops.raymarch import RaymarchResult
+    for mi, mask in enumerate(masks):
+        depths = np.cumsum(rng.random((r, s)).astype(np.float32), -1) * 0.05
+        t0 = depths[:, 0].copy()
+        span = depths[:, -1] - t0 + 1e-3
+        rm = RaymarchResult(
+            positionsT=None, depths=jnp.asarray(depths),
+            deltas=jnp.full((r, s), 0.05), mask=jnp.asarray(mask),
+            t0=jnp.asarray(t0), span=jnp.asarray(span))
+        oT = jnp.asarray(rng.random((3, r)).astype(np.float32))
+        dT = jnp.asarray(rng.random((3, r)).astype(np.float32))
+        for budget in (int(mask.sum()) + 4, max(4, int(mask.sum()) // 2)):
+            monkeypatch.setenv("PAGNERF_PACK_GATHER_MAP", "1")
+            pg = pack_samples(rm, oT, dT, budget=budget)
+            monkeypatch.setenv("PAGNERF_PACK_GATHER_MAP", "0")
+            psc = pack_samples(rm, oT, dT, budget=budget)
+            for f in ("ray_id", "step_id", "offsets", "valid", "depths",
+                      "deltas", "positionsT"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(pg, f)), np.asarray(getattr(psc, f)),
+                    err_msg=f"mask {mi} budget {budget} field {f}")
+
+
 def test_pack_water_fills_on_overflow():
     rays, occ, rm = _march()
     counts = np.asarray(rm.mask).sum(-1)

@@ -224,6 +224,57 @@ def test_voxel_probe_finds_thin_wall_regardless_of_num_steps():
     assert np.asarray(rm.depths).min() <= (3 - z_hi) + 1e-5
 
 
+def test_windowed_probe_matches_single_stage(monkeypatch):
+    """The two-stage (mip + windowed fine) probe finds the same thin wall the
+    single-stage probe does, concentrates samples identically (within probe
+    spacing), and never loses mask correctness when the mip corridor has no
+    fine hit (falls back to the unrefit interval)."""
+    level, mt = 5, 0.5
+    occ0 = OccupancyGrid.create(level=level)
+    res = occ0.res
+    ijk = np.stack(np.meshgrid(np.arange(res), np.arange(res), np.arange(res),
+                               indexing="ij"), -1).reshape(-1, 3)
+    wall_k = res // 4
+    mask = ijk[:, 2] == wall_k
+    occ = OccupancyGrid(occupancy=jnp.asarray(mask, jnp.float32),
+                        mask=jnp.asarray(mask), level=level)
+    rays = make_rays([[0.01, 0.01, 3], [-0.3, 0.2, 3]],
+                     [[0, 0, -1], [0, 0, -1]])
+    monkeypatch.setenv("PAGNERF_WINDOWED_PROBE", "0")
+    rm0 = raymarch(rays, occ, num_steps=32, raymarch_type="voxel",
+                   ray_max_travel=mt)
+    monkeypatch.setenv("PAGNERF_WINDOWED_PROBE", "1")
+    rm1 = raymarch(rays, occ, num_steps=32, raymarch_type="voxel",
+                   ray_max_travel=mt)
+    z_lo = wall_k / res * 2 - 1
+    z_hi = (wall_k + 1) / res * 2 - 1
+    for rm in (rm0, rm1):
+        z = np.asarray(rm.positionsT[2])[np.asarray(rm.mask)]
+        assert z.size > 0
+        assert (z >= z_lo - 1e-5).all() and (z <= z_hi + 1e-5).all()
+        d = np.asarray(rm.depths)
+        assert (d.max(-1) - d.min(-1) <= mt + 1e-5).all()
+    # refit anchors agree within the two probes' spacing + one mip cell
+    cell_c = 2.0 / (1 << (level - 2))
+    np.testing.assert_allclose(np.asarray(rm1.t0), np.asarray(rm0.t0),
+                               atol=cell_c + 0.1)
+    # mip corridor with NO fine hit inside the window: occupancy only in one
+    # far corner cell; a central ray crosses its mip cell but misses the fine
+    # cell -> windowed probe must fall back to the full unrefit interval
+    # (mask all-empty, span not collapsed to max_travel around a false hit)
+    mask2 = (ijk == np.array([1, 1, wall_k])).all(-1)
+    occ2 = OccupancyGrid(occupancy=jnp.asarray(mask2, jnp.float32),
+                         mask=jnp.asarray(mask2), level=level)
+    # fine cell (3, 3) shares the occupied fine cell (1, 1)'s 4^3 mip cell:
+    # the ray gets a coarse hit but no fine hit anywhere in its window
+    x33 = (3.5 / res) * 2 - 1
+    corridor_ray = make_rays([[x33, x33, 3]], [[0, 0, -1]])
+    rm2 = raymarch(corridor_ray, occ2, num_steps=32, raymarch_type="voxel",
+                   ray_max_travel=mt)
+    assert not np.asarray(rm2.mask).any()
+    assert float(rm2.span[0]) > mt  # no false refit onto the empty corridor
+
+
 def test_occupancy_lookup_small_grid_levels():
     """res^3 < 128 (levels 1-2) must not crash the 128-lane row reshape."""
     for level in (1, 2):
