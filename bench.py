@@ -18,10 +18,15 @@ framework's early occupancy seeding:
     occupancy skipping, micro_batch=6 (epochs 201..601).
   * post (panoptic) — same regime with ALL panoptic losses + both grids
     (epochs 601..800; this is also the r1/r2-comparable "post_prune" number).
-The HEADLINE number is the SCHEDULE-WEIGHTED throughput over those 801 epochs,
-not the best regime. A fifth probe times the panoptic post-prune step at the
-convergence run's real ~25% occupancy (auto-compaction budget 144 instead of the
-sparse-field 64) so the deployed regime is on record.
+The HEADLINE number is the OCCUPANCY-TRAJECTORY-WEIGHTED throughput over those
+801 epochs — each regime re-measured at the occupancies a committed flagship
+convergence run actually traversed (docs/convergence_flagship*/
+occupancy_trajectory.json; round-4 verdict: the bench scene's near-empty
+post-prune field weighted the old headline at an occupancy real runs never
+reach). The bench-scene schedule-weighted number is still computed and
+reported alongside for round-over-round continuity. A separate probe times
+the panoptic post-prune step at ~25% occupancy so the deployed regime is on
+record.
 Every timed step prints an evolving rgb_loss: throughput claims are only valid with
 real training progress (axon result-caching artifacts read as 1000x wins otherwise —
 see PERFORMANCE.md).
@@ -259,47 +264,9 @@ def main():
     post_rays = run_phase(stage_post, "post[panoptic]", max_iters, start,
                           min(micro_post, micro_for(stage_post, cap)))
 
-    # ---- render (serving) throughput at the post-prune regime -------------
-    # The reference logs "render time/img" per validation (SURVEY §6,
-    # pc_nerf/trainer.py:699-704). Full-image forward renders with all
-    # panoptic channels, through the CURRENT stage's raymarch settings —
-    # the regime a deployed/interactive viewer serves from. Each timed frame
-    # is a DISTINCT view rendered exactly once (axon caches repeated launches
-    # with identical inputs — CLAUDE.md rule 6), with a host read per frame.
-    render_rays = render_ms = None
-    if (os.environ.get("BENCH_RENDER", "1") != "0"
-            and time.perf_counter() - start < budget):
-        from pagnerf_tpu.train.validation import _rays_from
-        imgs = ds.get_images(split="val", mip=0)
-        chans = {"rgb", "depth", "semantics", "inst_embedding"}
-        n_views = imgs["imgs"].shape[0]
-        h, w = imgs["imgs"].shape[1:3]
-        t0 = time.perf_counter()
-        _ = np.asarray(trainer.batch_render(
-            _rays_from(imgs, 0, False), chans,
-            stage_cfg=stage_post).rgb)   # compile + warmup
-        note(f"render compile+first frame: {time.perf_counter() - t0:.1f}s "
-             f"({w}x{h}, {len(chans)} channels)")
-        t0 = time.perf_counter()
-        for i in range(1, n_views):
-            _ = np.asarray(trainer.batch_render(_rays_from(imgs, i, False),
-                                                chans, stage_cfg=stage_post).rgb)
-        dt = time.perf_counter() - t0
-        render_ms = 1000.0 * dt / (n_views - 1)
-        render_rays = (n_views - 1) * h * w / dt
-        note(f"render: {render_rays:.0f} rays/s, {render_ms:.1f} ms/img "
-             f"over {n_views - 1} distinct views")
-
-    # ---- phase 5: panoptic post-prune at the convergence run's ~25% occ ---
-    post_conv_rays = None
-    if probe_conv_occ and time.perf_counter() - start < budget:
-        force_occupancy(0.25, "conv-occupancy probe")
-        stage_conv = trainer.stage_for_epoch(3)
-        note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
-             f"compact budget {stage_conv.compact_steps}, "
-             f"pack budget {stage_conv.pack_steps}/ray")
-        post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
-                                   min(micro_post, micro_for(stage_conv, cap)))
+    # post-prune occupancy state, restored for the render/probe phases after
+    # the trajectory block re-forces other occupancies
+    occ_post_state = trainer.occ
 
     # ---- schedule-weighted throughput (801 reference epochs) --------------
     # at the BENCH SCENE's own occupancies — kept for round-over-round
@@ -402,6 +369,55 @@ def main():
                  f"counterfactual ({ref_ep:.0f} ref epochs, "
                  f"{ref_ep / t_refresh:.0f} vs "
                  f"{rates[('seeded_rgb', occ0)]:.0f} rays/s)")
+
+    # restore the post-prune occupancy for the serving/probe phases (the
+    # trajectory block leaves the field at its last forced occupancy)
+    trainer.occ = occ_post_state
+    trainer._occ_frac = occ_frac
+
+    # ---- render (serving) throughput at the post-prune regime -------------
+    # The reference logs "render time/img" per validation (SURVEY §6,
+    # pc_nerf/trainer.py:699-704). Full-image forward renders with all
+    # panoptic channels, through the CURRENT stage's raymarch settings —
+    # the regime a deployed/interactive viewer serves from. Each timed frame
+    # is a DISTINCT view rendered exactly once (axon caches repeated launches
+    # with identical inputs — CLAUDE.md rule 6), with a host read per frame.
+    # Runs AFTER the trajectory headline: under budget pressure the headline
+    # survives, the serving number is the one dropped.
+    render_rays = render_ms = None
+    if (os.environ.get("BENCH_RENDER", "1") != "0"
+            and time.perf_counter() - start < budget):
+        from pagnerf_tpu.train.validation import _rays_from
+        imgs = ds.get_images(split="val", mip=0)
+        chans = {"rgb", "depth", "semantics", "inst_embedding"}
+        n_views = imgs["imgs"].shape[0]
+        h, w = imgs["imgs"].shape[1:3]
+        t0 = time.perf_counter()
+        _ = np.asarray(trainer.batch_render(
+            _rays_from(imgs, 0, False), chans,
+            stage_cfg=stage_post).rgb)   # compile + warmup
+        note(f"render compile+first frame: {time.perf_counter() - t0:.1f}s "
+             f"({w}x{h}, {len(chans)} channels)")
+        t0 = time.perf_counter()
+        for i in range(1, n_views):
+            _ = np.asarray(trainer.batch_render(_rays_from(imgs, i, False),
+                                                chans, stage_cfg=stage_post).rgb)
+        dt = time.perf_counter() - t0
+        render_ms = 1000.0 * dt / (n_views - 1)
+        render_rays = (n_views - 1) * h * w / dt
+        note(f"render: {render_rays:.0f} rays/s, {render_ms:.1f} ms/img "
+             f"over {n_views - 1} distinct views")
+
+    # ---- probe: panoptic post-prune at the convergence run's ~25% occ -----
+    post_conv_rays = None
+    if probe_conv_occ and time.perf_counter() - start < budget:
+        force_occupancy(0.25, "conv-occupancy probe")
+        stage_conv = trainer.stage_for_epoch(3)
+        note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
+             f"compact budget {stage_conv.compact_steps}, "
+             f"pack budget {stage_conv.pack_steps}/ray")
+        post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
+                                   min(micro_post, micro_for(stage_conv, cap)))
 
     headline = traj_weighted if traj_weighted is not None else weighted
     out = {
