@@ -12,7 +12,11 @@ cd "$(dirname "$0")/.."
 
 while [ ! -f "$ROOT/chip_queue.done" ]; do sleep 120; done
 
-BENCH_BUDGET_S=2700 timeout -k 30 3300 python bench.py \
+# budget = wall-clock left before the 14:40 chip-release guard, minus margin
+LEFT=$(( 1787236500 - $(date +%s) ))
+[ "$LEFT" -gt 2700 ] && LEFT=2700
+[ "$LEFT" -lt 600 ] && { echo "bench skipped: ${LEFT}s left" >> "$ROOT/queue.log"; touch "$ROOT/bench_queue.done"; exit 0; }
+BENCH_BUDGET_S=$LEFT timeout -k 30 $(( LEFT + 600 )) python bench.py \
   > "$ROOT/bench_r5_local.json" 2> "$ROOT/bench_r5_local.log"
 echo "bench rc=$?" >> "$ROOT/queue.log"
 if [ -s "$ROOT/bench_r5_local.json" ]; then
