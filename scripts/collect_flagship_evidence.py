@@ -65,12 +65,30 @@ def main(run_root: str = DEFAULT_ROOT,
     from merge_run_segments import main as merge
     merge(merged, *specs)
 
+    # Schedule milestones from the run's OWN saved config snapshot (so the
+    # trajectory's regime boundaries follow the executed schedule — the
+    # compressed contingency protocol halves every milestone), falling back
+    # to the flagship defaults for old runs without a snapshot.
+    seed_ep, prune_ep, sem_ep, total_ep = 20, 100, SEM_EPOCH, TOTAL_EPOCHS
+    cfg_path = Path(specs[-1].rsplit(":", 1)[0]) / "config.yaml"
+    if cfg_path.exists():
+        import yaml
+        cfg = yaml.safe_load(cfg_path.read_text()) or {}
+        flat = {}
+        for v in cfg.values():
+            if isinstance(v, dict):
+                flat.update(v)
+        seed_ep = int(flat.get("seed_prune_epoch", seed_ep))
+        prune_ep = int(flat.get("voxel_raymarch_epoch_start", prune_ep))
+        sem_ep = int(flat.get("sem_epoch_start", sem_ep))
+        total_ep = int(flat.get("epochs", total_ep))
+
     import subprocess
     out = f"{docs_dir}/occupancy_trajectory.json"
     subprocess.run(
         [sys.executable, "scripts/extract_occupancy_trajectory.py",
-         "--seed-epoch", "20", "--prune-epoch", "100",
-         "--sem-epoch", str(SEM_EPOCH), "--epochs", str(TOTAL_EPOCHS),
+         "--seed-epoch", str(seed_ep), "--prune-epoch", str(prune_ep),
+         "--sem-epoch", str(sem_ep), "--epochs", str(total_ep),
          "--out", out, *specs], check=True)
 
     from collect_convergence import main as collect
