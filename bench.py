@@ -322,53 +322,63 @@ def main():
             return run_phase(st, f"{regime}@{100 * occ:.0f}%occ",
                              max_iters, start, mb)
 
-        regime_occs = {}
-        for s in traj:
-            regime_occs.setdefault(s["regime"], set()).add(float(s["occ"]))
-        rates = {}   # (regime, occ) -> rays/s
-        for regime, occs in regime_occs.items():
-            if regime == "pre_rgb":
-                for o in occs:
-                    rates[(regime, o)] = pre_rays   # dense, already measured
-                continue
-            ends = sorted({min(occs), max(occs)})
-            for o in ends:
-                rates[(regime, o)] = measure_regime_at(regime, o)
-            if len(ends) == 2:
-                (lo, hi) = ends
-                t_lo, t_hi = 1.0 / rates[(regime, lo)], 1.0 / rates[(regime, hi)]
-                for o in occs - set(ends):
-                    t = t_lo + (t_hi - t_lo) * (o - lo) / (hi - lo)
-                    rates[(regime, o)] = 1.0 / t
-        total_ep = sum(s["ref_epochs"] for s in traj)
-        traj_weighted = total_ep / sum(
-            s["ref_epochs"] / rates[(s["regime"], float(s["occ"]))]
-            for s in traj)
-        traj_detail = {f"{r}@{100 * o:.1f}%occ": round(v, 1)
-                       for (r, o), v in sorted(rates.items())}
-        note(f"occupancy-trajectory-weighted: {traj_weighted:.1f} rays/s "
-             f"over {total_ep:.0f} reference epochs "
-             f"(trajectory: {traj_path})")
+        # Fail-soft: a device fault during a trajectory re-measure must not
+        # cost the whole capture — the schedule-weighted headline and the
+        # already-measured segment numbers still print.
+        try:
+            regime_occs = {}
+            for s in traj:
+                regime_occs.setdefault(s["regime"], set()).add(float(s["occ"]))
+            rates = {}   # (regime, occ) -> rays/s
+            for regime, occs in regime_occs.items():
+                if regime == "pre_rgb":
+                    for o in occs:
+                        rates[(regime, o)] = pre_rays  # dense, already measured
+                    continue
+                ends = sorted({min(occs), max(occs)})
+                for o in ends:
+                    rates[(regime, o)] = measure_regime_at(regime, o)
+                if len(ends) == 2:
+                    (lo, hi) = ends
+                    t_lo = 1.0 / rates[(regime, lo)]
+                    t_hi = 1.0 / rates[(regime, hi)]
+                    for o in occs - set(ends):
+                        t = t_lo + (t_hi - t_lo) * (o - lo) / (hi - lo)
+                        rates[(regime, o)] = 1.0 / t
+            total_ep = sum(s["ref_epochs"] for s in traj)
+            traj_weighted = total_ep / sum(
+                s["ref_epochs"] / rates[(s["regime"], float(s["occ"]))]
+                for s in traj)
+            traj_detail = {f"{r}@{100 * o:.1f}%occ": round(v, 1)
+                           for (r, o), v in sorted(rates.items())}
+            note(f"occupancy-trajectory-weighted: {traj_weighted:.1f} rays/s "
+                 f"over {total_ep:.0f} reference epochs "
+                 f"(trajectory: {traj_path})")
 
-        # Seed-refresh lever, measured end-to-end (VERDICT r4 #2): the seeded
-        # segment's per-plateau rates vs the counterfactual where the budgets
-        # stay FROZEN at the first seed occupancy for the whole segment
-        # (seed_refresh_every=0). >1 means refreshing is faster; <1 means the
-        # field FILLED IN as it converged and the refreshed budgets honestly
-        # track a denser field.
-        seeded = [s for s in traj if s["regime"] == "seeded_rgb"]
-        if len(seeded) > 1:
-            ref_ep = sum(s["ref_epochs"] for s in seeded)
-            t_refresh = sum(s["ref_epochs"]
-                            / rates[("seeded_rgb", float(s["occ"]))]
-                            for s in seeded)
-            occ0 = float(seeded[0]["occ"])
-            refresh_effect = (ref_ep / rates[("seeded_rgb", occ0)]) / t_refresh
-            note(f"seed-refresh lever: refreshed-budget seeded segment runs "
-                 f"{refresh_effect:.2f}x the frozen-at-{100 * occ0:.0f}%-seed "
-                 f"counterfactual ({ref_ep:.0f} ref epochs, "
-                 f"{ref_ep / t_refresh:.0f} vs "
-                 f"{rates[('seeded_rgb', occ0)]:.0f} rays/s)")
+            # Seed-refresh lever, measured end-to-end (VERDICT r4 #2): the
+            # seeded segment's per-plateau rates vs the counterfactual where
+            # the budgets stay FROZEN at the first seed occupancy for the
+            # whole segment (seed_refresh_every=0). >1 means refreshing is
+            # faster; <1 means the field FILLED IN as it converged and the
+            # refreshed budgets honestly track a denser field.
+            seeded = [s for s in traj if s["regime"] == "seeded_rgb"]
+            if len(seeded) > 1:
+                ref_ep = sum(s["ref_epochs"] for s in seeded)
+                t_refresh = sum(s["ref_epochs"]
+                                / rates[("seeded_rgb", float(s["occ"]))]
+                                for s in seeded)
+                occ0 = float(seeded[0]["occ"])
+                refresh_effect = (ref_ep
+                                  / rates[("seeded_rgb", occ0)]) / t_refresh
+                note(f"seed-refresh lever: refreshed-budget seeded segment "
+                     f"runs {refresh_effect:.2f}x the "
+                     f"frozen-at-{100 * occ0:.0f}%-seed counterfactual "
+                     f"({ref_ep:.0f} ref epochs, {ref_ep / t_refresh:.0f} vs "
+                     f"{rates[('seeded_rgb', occ0)]:.0f} rays/s)")
+        except Exception as e:                          # noqa: BLE001
+            note(f"trajectory-weighted phase FAILED ({type(e).__name__}: "
+                 f"{e}); falling back to the schedule-weighted headline")
+            traj_weighted, traj_detail, seeded = None, {}, []
 
     # restore the post-prune occupancy for the serving/probe phases (the
     # trajectory block leaves the field at its last forced occupancy)
@@ -387,37 +397,50 @@ def main():
     render_rays = render_ms = None
     if (os.environ.get("BENCH_RENDER", "1") != "0"
             and time.perf_counter() - start < budget):
-        from pagnerf_tpu.train.validation import _rays_from
-        imgs = ds.get_images(split="val", mip=0)
-        chans = {"rgb", "depth", "semantics", "inst_embedding"}
-        n_views = imgs["imgs"].shape[0]
-        h, w = imgs["imgs"].shape[1:3]
-        t0 = time.perf_counter()
-        _ = np.asarray(trainer.batch_render(
-            _rays_from(imgs, 0, False), chans,
-            stage_cfg=stage_post).rgb)   # compile + warmup
-        note(f"render compile+first frame: {time.perf_counter() - t0:.1f}s "
-             f"({w}x{h}, {len(chans)} channels)")
-        t0 = time.perf_counter()
-        for i in range(1, n_views):
-            _ = np.asarray(trainer.batch_render(_rays_from(imgs, i, False),
-                                                chans, stage_cfg=stage_post).rgb)
-        dt = time.perf_counter() - t0
-        render_ms = 1000.0 * dt / (n_views - 1)
-        render_rays = (n_views - 1) * h * w / dt
-        note(f"render: {render_rays:.0f} rays/s, {render_ms:.1f} ms/img "
-             f"over {n_views - 1} distinct views")
+        try:
+            from pagnerf_tpu.train.validation import _rays_from
+            imgs = ds.get_images(split="val", mip=0)
+            chans = {"rgb", "depth", "semantics", "inst_embedding"}
+            n_views = imgs["imgs"].shape[0]
+            h, w = imgs["imgs"].shape[1:3]
+            t0 = time.perf_counter()
+            _ = np.asarray(trainer.batch_render(
+                _rays_from(imgs, 0, False), chans,
+                stage_cfg=stage_post).rgb)   # compile + warmup
+            note(f"render compile+first frame: "
+                 f"{time.perf_counter() - t0:.1f}s "
+                 f"({w}x{h}, {len(chans)} channels)")
+            t0 = time.perf_counter()
+            for i in range(1, n_views):
+                _ = np.asarray(trainer.batch_render(
+                    _rays_from(imgs, i, False), chans,
+                    stage_cfg=stage_post).rgb)
+            dt = time.perf_counter() - t0
+            render_ms = 1000.0 * dt / (n_views - 1)
+            render_rays = (n_views - 1) * h * w / dt
+            note(f"render: {render_rays:.0f} rays/s, {render_ms:.1f} ms/img "
+                 f"over {n_views - 1} distinct views")
+        except Exception as e:                          # noqa: BLE001
+            note(f"render phase FAILED ({type(e).__name__}: {e}); "
+                 f"continuing without serving numbers")
+            render_rays = render_ms = None
 
     # ---- probe: panoptic post-prune at the convergence run's ~25% occ -----
     post_conv_rays = None
     if probe_conv_occ and time.perf_counter() - start < budget:
-        force_occupancy(0.25, "conv-occupancy probe")
-        stage_conv = trainer.stage_for_epoch(3)
-        note(f"conv-occupancy probe: {100 * trainer._occ_frac:.1f}% occupied, "
-             f"compact budget {stage_conv.compact_steps}, "
-             f"pack budget {stage_conv.pack_steps}/ray")
-        post_conv_rays = run_phase(stage_conv, "post@25%occ", max_iters, start,
-                                   min(micro_post, micro_for(stage_conv, cap)))
+        try:
+            force_occupancy(0.25, "conv-occupancy probe")
+            stage_conv = trainer.stage_for_epoch(3)
+            note(f"conv-occupancy probe: "
+                 f"{100 * trainer._occ_frac:.1f}% occupied, "
+                 f"compact budget {stage_conv.compact_steps}, "
+                 f"pack budget {stage_conv.pack_steps}/ray")
+            post_conv_rays = run_phase(
+                stage_conv, "post@25%occ", max_iters, start,
+                min(micro_post, micro_for(stage_conv, cap)))
+        except Exception as e:                          # noqa: BLE001
+            note(f"conv-occupancy probe FAILED ({type(e).__name__}: {e})")
+            post_conv_rays = None
 
     headline = traj_weighted if traj_weighted is not None else weighted
     out = {
