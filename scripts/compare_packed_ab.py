@@ -37,9 +37,10 @@ def final_row(root: str) -> dict:
     return best
 
 
-def main(packed_root: str, compact_root: str, out: str) -> None:
+def main(packed_root: str, compact_root: str, out: str,
+         config: str = "configs/synthetic/packed_ab.yaml") -> None:
     packed, compact = final_row(packed_root), final_row(compact_root)
-    rep = {"config": "configs/synthetic/packed_ab.yaml",
+    rep = {"config": config,
            "epoch": {"packed": packed["epoch"], "compact": compact["epoch"]},
            "packed": {}, "compact": {}, "delta_packed_minus_compact": {}}
     for k in KEYS:
@@ -57,4 +58,4 @@ def main(packed_root: str, compact_root: str, out: str) -> None:
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:5])
